@@ -1,0 +1,183 @@
+"""Typed framework configuration + INI ingestion.
+
+The reference drives everything through INI files parsed into argparse
+namespaces (`lib/Params_pretrain.py`, `lib/Params_predictor.py`). Here
+the same information lives in a frozen dataclass. `from_ini` reads
+reference-format `.conf` files so existing configs map 1:1;
+`default_config` carries the built-in per-dataset defaults from
+`conf/GPTST_pretrain/*.conf`.
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+from typing import Sequence
+
+from gptst_tpu.config.datasets import get_dataset_spec
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameworkConfig:
+    """The pretrain/framework namespace (single-hyphen flags upstream)."""
+
+    dataset: str = "PEMS08"
+    mode: str = "ori"            # ori | eval | pretrain | test
+    model: str = "STGCN"
+
+    # [data]
+    num_nodes: int = 170
+    lag: int = 12
+    horizon: int = 12
+    val_ratio: float = 0.2
+    test_ratio: float = 0.2
+    tod: bool = False
+    normalizer: str = "std"
+    column_wise: bool = False
+    default_graph: bool = True
+
+    # [model]
+    input_base_dim: int = 1
+    input_extra_dim: int = 2
+    output_dim: int = 1
+    embed_dim: int = 16
+    embed_dim_spa: int = 4
+    hidden_dim: int = 64
+    HS: int = 10
+    HT: int = 16
+    HT_Tem: int = 8
+    num_route: int = 2
+    mask_ratio: float = 0.25
+    ada_mask_ratio: float = 0.5
+    ada_type: str = "all"        # all | half
+
+    # [train]
+    loss_func: str = "mask_mae"
+    seed: int = 12
+    batch_size: int = 64
+    epochs: int = 300
+    lr_init: float = 3e-3
+    lr_decay: bool = True
+    lr_decay_rate: float = 0.3
+    lr_decay_step: Sequence[int] = (150, 250)
+    early_stop: bool = True
+    early_stop_patience: int = 100
+    change_epoch: int = 10
+    up_epoch: Sequence[int] = (110, 170, 250)
+    grad_norm: bool = True
+    max_grad_norm: float = 5.0
+    debug: bool = True
+    real_value: bool = False
+    seed_mode: bool = True
+    xavier: bool = True
+    load_pretrain_path: str = "gptst_pretrain.ckpt"
+    save_pretrain_path: str = "gptst_pretrain.ckpt"
+
+    # [test]
+    mae_thresh: float | None = None
+    mape_thresh: float = 0.0
+
+    # [log]
+    log_step: int = 20
+    log_dir: str = "./SAVE"
+
+    # precision policy: compute dtype for model internals ("float32"|"bfloat16")
+    compute_dtype: str = "float32"
+
+    def replace(self, **kw) -> "FrameworkConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _parse_bool(s: str) -> bool:
+    return s.strip().lower() in ("true", "1", "yes")
+
+
+def _parse_int_list(s) -> tuple[int, ...]:
+    if isinstance(s, (tuple, list)):
+        return tuple(int(i) for i in s)
+    return tuple(int(i) for i in str(s).split(",") if str(i).strip())
+
+
+def _parse_optional_float(s) -> float | None:
+    if s is None:
+        return None
+    t = str(s).strip().lower()
+    if t in ("none", ""):
+        return None
+    return float(t)
+
+
+def from_ini(path: str, dataset: str, mode: str = "ori",
+             model: str = "STGCN", **overrides) -> FrameworkConfig:
+    """Read a reference-format GPTST_pretrain `.conf` into a FrameworkConfig.
+
+    Section/key layout matches `lib/Params_pretrain.py:25-75`.
+    """
+    cp = configparser.ConfigParser()
+    read = cp.read(path)
+    if not read:
+        raise FileNotFoundError(path)
+    d, m, t, te, lg = cp["data"], cp["model"], cp["train"], cp["test"], cp["log"]
+    cfg = FrameworkConfig(
+        dataset=dataset, mode=mode, model=model,
+        num_nodes=int(d["num_nodes"]), lag=int(d["lag"]),
+        horizon=int(d["horizon"]), val_ratio=float(d["val_ratio"]),
+        test_ratio=float(d["test_ratio"]), tod=_parse_bool(d["tod"]),
+        normalizer=d["normalizer"], column_wise=_parse_bool(d["column_wise"]),
+        default_graph=_parse_bool(d["default_graph"]),
+        input_base_dim=int(m["input_base_dim"]),
+        input_extra_dim=int(m["input_extra_dim"]),
+        output_dim=int(m["output_dim"]), embed_dim=int(m["embed_dim"]),
+        embed_dim_spa=int(m["embed_dim_spa"]), hidden_dim=int(m["hidden_dim"]),
+        HS=int(m["HS"]), HT=int(m["HT"]), HT_Tem=int(m["HT_Tem"]),
+        num_route=int(m["num_route"]), mask_ratio=float(m["mask_ratio"]),
+        ada_mask_ratio=float(m["ada_mask_ratio"]), ada_type=m["ada_type"],
+        loss_func=t["loss_func"], seed=int(t["seed"]),
+        batch_size=int(t["batch_size"]), epochs=int(t["epochs"]),
+        lr_init=float(t["lr_init"]), lr_decay=_parse_bool(t["lr_decay"]),
+        lr_decay_rate=float(t["lr_decay_rate"]),
+        lr_decay_step=_parse_int_list(t["lr_decay_step"]),
+        early_stop=_parse_bool(t["early_stop"]),
+        early_stop_patience=int(t["early_stop_patience"]),
+        change_epoch=int(t["change_epoch"]),
+        up_epoch=_parse_int_list(t["up_epoch"]),
+        grad_norm=_parse_bool(t["grad_norm"]),
+        max_grad_norm=float(t["max_grad_norm"]),
+        debug=_parse_bool(t["debug"]), real_value=_parse_bool(t["real_value"]),
+        seed_mode=_parse_bool(t["seed_mode"]), xavier=_parse_bool(t["xavier"]),
+        load_pretrain_path=t["load_pretrain_path"],
+        save_pretrain_path=t["save_pretrain_path"],
+        mae_thresh=_parse_optional_float(te["mae_thresh"]),
+        mape_thresh=float(te["mape_thresh"]),
+        log_step=int(lg["log_step"]),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+# Per-dataset [model]/[train] deltas from conf/GPTST_pretrain/*.conf.
+_DATASET_DELTAS: dict[str, dict] = {
+    "PEMS08": dict(ada_type="all", ada_mask_ratio=0.5, seed=12,
+                   lr_decay=True, early_stop_patience=100),
+    "METR_LA": dict(ada_type="half", ada_mask_ratio=0.5, seed=0,
+                    lr_decay=True, early_stop_patience=100),
+    "NYC_BIKE": dict(ada_type="all", ada_mask_ratio=1.0, seed=12,
+                     lr_decay=False, early_stop_patience=80),
+    "NYC_TAXI": dict(ada_type="all", ada_mask_ratio=1.0, seed=12,
+                     lr_decay=False, early_stop_patience=80),
+}
+
+
+def default_config(dataset: str, mode: str = "ori",
+                   model: str = "STGCN", **overrides) -> FrameworkConfig:
+    """Built-in defaults mirroring `conf/GPTST_pretrain/<dataset>.conf`."""
+    spec = get_dataset_spec(dataset)
+    base = dict(
+        dataset=dataset, mode=mode, model=model,
+        num_nodes=spec.num_nodes, input_base_dim=spec.input_base_dim,
+        output_dim=spec.input_base_dim,
+        val_ratio=spec.val_ratio, test_ratio=spec.test_ratio,
+        mae_thresh=spec.mae_thresh, mape_thresh=spec.mape_thresh,
+    )
+    base.update(_DATASET_DELTAS[dataset])
+    base.update(overrides)
+    return FrameworkConfig(**base)

@@ -1,0 +1,125 @@
+"""Data pipeline tests, including golden checks against the reference's
+python-loop semantics re-executed inline (`lib/load_dataset.py:4-40`,
+`lib/add_window.py`)."""
+
+import numpy as np
+import pytest
+
+from gptst_tpu.config import default_config, get_dataset_spec
+from gptst_tpu.data import (
+    add_window_horizon, attach_time_channels, build_dataset,
+    fit_channel_scalers, split_by_ratio, synthesize_raw_series, time_features,
+)
+
+
+def reference_time_add(length, week_start, interval=5, weekday_only=False,
+                       day_start=0, hour_of_day=24):
+    """Verbatim re-execution of the reference loop semantics (not code):
+    returns (day, week) integer arrays of shape (length,)."""
+    week_max = 5 if weekday_only else 7
+    time_slot = hour_of_day * 60 // interval
+    day = np.zeros(length, dtype=np.int64)
+    week = np.zeros(length, dtype=np.int64)
+    day_init = day_start
+    week_init = week_start
+    for index in range(length):
+        if index % time_slot == 0:
+            day_init = day_start
+        day_init += 1
+        if index % time_slot == 0 and index != 0:
+            week_init += 1
+        if week_init > week_max:
+            week_init = 1
+        day[index] = day_init
+        week[index] = week_init
+    return day, week
+
+
+@pytest.mark.parametrize("week_start,interval", [(5, 5), (4, 5), (5, 30), (7, 30)])
+def test_time_features_match_reference_loop(week_start, interval):
+    T = 3 * (24 * 60 // interval) + 17
+    day_ref, week_ref = reference_time_add(T, week_start, interval)
+    day, week = time_features(T, week_start, interval)
+    np.testing.assert_array_equal(day, day_ref)
+    np.testing.assert_array_equal(week, week_ref)
+
+
+def test_time_features_weekday_only_wrap():
+    # week_max=5 wrap path
+    T = 10 * 288
+    day_ref, week_ref = reference_time_add(T, 4, 5, weekday_only=True)
+    day, week = time_features(T, 4, 5, weekday_only=True)
+    np.testing.assert_array_equal(week, week_ref)
+
+
+def test_attach_time_channels_shape():
+    x = np.random.rand(100, 7).astype(np.float32)
+    out = attach_time_channels(x, week_start=5, interval=5)
+    assert out.shape == (100, 7, 3)
+    assert out[0, 0, 1] == 1.0  # first day slot
+    assert out[0, 0, 2] == 5.0  # week_start
+
+
+def test_add_window_horizon_counts_and_alignment():
+    T, N, D = 50, 4, 2
+    data = np.arange(T * N * D, dtype=np.float32).reshape(T, N, D)
+    X, Y = add_window_horizon(data, window=12, horizon=12)
+    assert X.shape == (T - 12 - 12 + 1, 12, N, D)
+    assert Y.shape == (T - 12 - 12 + 1, 12, N, D)
+    # alignment: Y starts right after X
+    np.testing.assert_array_equal(X[0], data[0:12])
+    np.testing.assert_array_equal(Y[0], data[12:24])
+    np.testing.assert_array_equal(X[5], data[5:17])
+
+
+def test_add_window_single():
+    data = np.arange(30, dtype=np.float32).reshape(30, 1, 1)
+    X, Y = add_window_horizon(data, window=3, horizon=4, single=True)
+    assert Y.shape[1] == 1
+    np.testing.assert_array_equal(Y[0, 0], data[3 + 4 - 1])
+
+
+def test_split_by_ratio_matches_reference_indexing():
+    data = np.arange(100)[:, None]
+    train, val, test = split_by_ratio(data, 0.2, 0.2)
+    # reference: test = data[-20:], val = data[-40:-20], train = data[:-40]
+    assert train.shape[0] == 60 and val.shape[0] == 20 and test.shape[0] == 20
+    assert test[0, 0] == 80 and val[0, 0] == 60
+
+
+def test_scalers_fit_train_only_and_roundtrip():
+    x = np.random.rand(100, 5, 3).astype(np.float64) * 50
+    s_data, s_day, s_week = fit_channel_scalers(x, input_base_dim=1)
+    z = s_data.transform(x[..., :1])
+    np.testing.assert_allclose(z.mean(), 0.0, atol=1e-12)
+    np.testing.assert_allclose(z.std(), 1.0, atol=1e-12)
+    np.testing.assert_allclose(s_data.inverse_transform(z), x[..., :1], rtol=1e-12)
+
+
+def test_build_dataset_end_to_end():
+    cfg = default_config("PEMS08", mode="ori", model="STGCN")
+    ds = build_dataset(cfg, num_steps=800, seed=0)
+    spec = get_dataset_spec("PEMS08")
+    B, T, N, D = ds.x_train.shape
+    assert T == 12 and N == spec.num_nodes and D == 3
+    assert ds.y_train.shape[1] == 12
+    # day/week channels are standardized too
+    assert abs(ds.x_train[..., 1].mean()) < 1.0
+    # scaler_zeros is transform(0)
+    np.testing.assert_allclose(
+        ds.scaler_zeros, -ds.scaler_data.mean / ds.scaler_data.std)
+    # batches iterate fully, last partial batch kept (drop_last=False)
+    n = sum(x.shape[0] for x, _ in ds.batches("train", 32))
+    assert n == ds.x_train.shape[0]
+
+
+def test_synthetic_series_statistics():
+    spec = get_dataset_spec("PEMS08")
+    x = synthesize_raw_series(spec, num_steps=288 * 7, seed=1)
+    assert x.shape == (288 * 7, 170, 1)
+    assert (x >= 0).all()
+    # diurnal structure: rush-hour mean well above night mean
+    day = x.reshape(7, 288, 170)
+    night = day[:, 0:48].mean()
+    rush = day[:, 90:110].mean()
+    assert rush > 2.0 * night
