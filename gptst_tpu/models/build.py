@@ -1,0 +1,98 @@
+"""Model factory: wires configs + graph artifacts into ForwardFns.
+
+The counterpart of `model/Model.py`'s predictor mux plus the per-model
+`args.py` graph builders, as one explicit registry. Each entry returns
+`(init_fn, forward_fn)` where
+
+  init_fn(rng)                          -> params
+  forward_fn(params, x, y, rng, epoch)  -> ModelOutput
+
+`x` is the full (B, T, N, base+2) input with calendar channels; ori
+mode slices the base channels (`model/Model.py:119-127`), eval mode
+fuses the frozen pretrain embedding (`:106-117`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gptst_tpu.config.config import FrameworkConfig
+from gptst_tpu.graph.artifacts import (
+    cheb_poly_stack, random_sensor_graph, scaled_laplacian,
+)
+from gptst_tpu.models.api import ModelOutput
+
+
+def load_base_adjacency(cfg: FrameworkConfig, seed: int = 0) -> np.ndarray:
+    """The raw sensor graph. Real distance CSVs are not shipped with the
+    reference repo; fall back to a synthetic sparse sensor graph with
+    matching node count."""
+    return random_sensor_graph(cfg.num_nodes, avg_degree=6, seed=seed)
+
+
+ModelBuilder = Callable[..., tuple[Callable, Callable]]
+_REGISTRY: dict[str, ModelBuilder] = {}
+
+
+def register_model(name: str):
+    def deco(fn: ModelBuilder) -> ModelBuilder:
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def available_models() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def build_predictor(cfg: FrameworkConfig, dim_in: int | None = None,
+                    adj: np.ndarray | None = None):
+    """Build the bare predictor for `cfg.model` (ori-mode input width by
+    default). Returns (init_fn, apply_fn) where apply_fn(params, x_base)
+    -> (B, horizon, N, dim_out)."""
+    # Import predictors lazily (mirrors `model/Model.py:52-93`) to keep
+    # module import cheap and dependency edges one-directional.
+    import gptst_tpu.models.predictors  # noqa: F401  (registration)
+
+    if cfg.model not in _REGISTRY:
+        raise ValueError(
+            f"unknown model {cfg.model!r}; available: {available_models()}")
+    if dim_in is None:
+        dim_in = cfg.input_base_dim if cfg.mode == "ori" else cfg.hidden_dim
+    if adj is None:
+        adj = load_base_adjacency(cfg)
+    return _REGISTRY[cfg.model](cfg, dim_in, adj)
+
+
+def predictor_forward(cfg: FrameworkConfig, apply_fn) -> Callable:
+    """Wrap a bare predictor into the ModelOutput contract (ori mode)."""
+
+    def forward(params, x, y=None, rng=None, epoch=None) -> ModelOutput:
+        pred = apply_fn(params, x[..., : cfg.input_base_dim])
+        return ModelOutput(pred=pred)
+
+    return forward
+
+
+# --- registrations ----------------------------------------------------------
+
+@register_model("STGCN")
+def _build_stgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
+    from gptst_tpu.models.predictors.stgcn import STGCN, STGCNConfig
+
+    pcfg = STGCNConfig(num_nodes=cfg.num_nodes)
+    cheb = jnp.asarray(cheb_poly_stack(scaled_laplacian(adj), pcfg.ks))
+    model = STGCN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim)
+
+    def init_fn(rng):
+        x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
+        return model.init(rng, x0, cheb)
+
+    def apply_fn(params, x_base):
+        return model.apply(params, x_base, cheb)
+
+    return init_fn, apply_fn

@@ -1,0 +1,261 @@
+"""Training loop.
+
+Re-design of `model/BasicTrainer.py` around a single jitted train step:
+the epoch index and curriculum state are traced scalars, so the whole
+schedule (random->adaptive mask switch, KL ramp-in) compiles once.
+
+Reference behaviors preserved (SURVEY.md §7.4):
+  - pretrain selects the best epoch by *train* loss and runs its final
+    report on the *train* loader with the fully-ramped mask
+    (`BasicTrainer.py:140-147, 194-195, 225`);
+  - other modes validate every epoch and select by val loss;
+  - `up_epoch` milestones reset the best-loss watermark (`:138-139`);
+  - divergence abort at loss > 1e6 (`:166-168`); early stopping;
+  - MultiStepLR decay applied per epoch (`model/Run.py:141-143`);
+  - KL(mask-policy || routing) * 0.1 added after `change_epoch`
+    (`BasicTrainer.py:84-86`).
+
+Divergence from the reference (documented): best params are always
+checkpointed when `log_dir` is set — the reference gates saving on
+`debug=True` and `-mode test` then loads a filename the trainer never
+wrote (`BasicTrainer.py:187`, `Run.py:162`), which we treat as a bug.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gptst_tpu.config.config import FrameworkConfig
+from gptst_tpu.data.pipeline import STDataset
+from gptst_tpu.eval.metrics import all_metrics
+from gptst_tpu.models.api import ForwardFn
+from gptst_tpu.train.loss import build_loss, kl_div_sum
+from gptst_tpu.utils.logger import get_logger
+
+
+def make_lr_schedule(cfg: FrameworkConfig, steps_per_epoch: int):
+    """MultiStepLR: lr *= rate at each milestone epoch."""
+    if not cfg.lr_decay or not cfg.lr_decay_step:
+        return cfg.lr_init
+    boundaries = {
+        int(m) * steps_per_epoch: cfg.lr_decay_rate for m in cfg.lr_decay_step
+    }
+    return optax.piecewise_constant_schedule(cfg.lr_init, boundaries)
+
+
+def make_optimizer(cfg: FrameworkConfig, steps_per_epoch: int):
+    sched = make_lr_schedule(cfg, steps_per_epoch)
+    opt = optax.adam(sched, eps=1e-8)
+    if cfg.grad_norm:
+        opt = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), opt)
+    return opt
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Drives a ForwardFn over an STDataset.
+
+    forward: (params, x, y, rng, epoch) -> ModelOutput
+    """
+
+    forward: ForwardFn
+    params: Any
+    cfg: FrameworkConfig
+    dataset: STDataset
+    seed: int = 0
+    log_dir: Optional[str] = None
+
+    def __post_init__(self):
+        self.logger = get_logger("trainer", debug=self.cfg.debug)
+        self.pretrain = self.cfg.mode == "pretrain"
+        self.steps_per_epoch = self.dataset.num_batches(
+            "train", self.cfg.batch_size)
+        self.optimizer = make_optimizer(self.cfg, self.steps_per_epoch)
+        self.opt_state = self.optimizer.init(self.params)
+        s = self.dataset.scaler_data
+        self.loss_fn = build_loss(
+            self.cfg.loss_func, s.mean, s.std, self.cfg.mape_thresh,
+            self.pretrain)
+        self._train_step = jax.jit(self._train_step_impl)
+        self._eval_loss = jax.jit(self._eval_loss_impl)
+        self._predict = jax.jit(self._predict_impl, static_argnames=("final",))
+        self.batch_seen = 0
+
+    # --- jitted kernels -------------------------------------------------
+    def _loss_terms(self, params, x, y, rng, epoch):
+        out = self.forward(params, x, y, rng, epoch)
+        label = y if not self.pretrain else x
+        flow_loss = self.loss_fn(
+            out.pred, label[..., : self.cfg.output_dim], out.mask)
+        if self.pretrain and out.probability is not None:
+            kl = kl_div_sum(
+                jnp.log(jnp.maximum(out.probability, 1e-38)), out.routing)
+            total = jnp.where(
+                epoch > self.cfg.change_epoch, flow_loss + 0.1 * kl, flow_loss)
+        else:
+            total = flow_loss
+        return total, flow_loss
+
+    def _train_step_impl(self, params, opt_state, x, y, rng, epoch):
+        (total, flow), grads = jax.value_and_grad(
+            self._loss_terms, has_aux=True)(params, x, y, rng, epoch)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total, flow
+
+    def _eval_loss_impl(self, params, x, y):
+        out = self.forward(params, x, y, None, None)
+        label = y
+        return self.loss_fn(out.pred, label[..., : self.cfg.output_dim], None)
+
+    def _predict_impl(self, params, x, y, epoch, rng, final: bool = False):
+        out = self.forward(params, x, y, rng, epoch if final else None)
+        return out.pred, out.mask
+
+    # --- epoch loops ----------------------------------------------------
+    def train_epoch(self, epoch: int, rng: jax.Array) -> float:
+        total_flow = 0.0
+        total = 0.0
+        nb = 0
+        for xb, yb in self.dataset.batches(
+                "train", self.cfg.batch_size, shuffle=True,
+                seed=self.seed * 10_000 + epoch):
+            self.batch_seen += 1
+            rng, step_rng = jax.random.split(rng)
+            self.params, self.opt_state, loss, flow = self._train_step(
+                self.params, self.opt_state, jnp.asarray(xb), jnp.asarray(yb),
+                step_rng, jnp.asarray(epoch, dtype=jnp.int32))
+            total += float(loss)
+            total_flow += float(flow)
+            nb += 1
+            if (nb - 1) % self.cfg.log_step == 0:
+                self.logger.info(
+                    "Train Epoch %d: %d/%d Loss: %.6f",
+                    epoch, nb - 1, self.steps_per_epoch, float(loss))
+        if self.pretrain:
+            # best-epoch selection uses the flow loss (`BasicTrainer.py:120-121`)
+            return total_flow / max(nb, 1)
+        return total / max(nb, 1)
+
+    def val_epoch(self, epoch: int, split: str = "val") -> float:
+        total, nb = 0.0, 0
+        for xb, yb in self.dataset.batches(split, self.cfg.batch_size):
+            loss = self._eval_loss(self.params, jnp.asarray(xb), jnp.asarray(yb))
+            if not np.isnan(float(loss)):
+                total += float(loss)
+            nb += 1
+        val = total / max(nb, 1)
+        self.logger.info("**********Val Epoch %d: average Loss: %.6f", epoch, val)
+        return val
+
+    def train(self) -> dict:
+        best_loss = float("inf")
+        best_params = self.params
+        not_improved = 0
+        rng = jax.random.PRNGKey(self.seed)
+        history: list[float] = []
+        start = time.time()
+        val_split = "val" if self.dataset.x_val.shape[0] > 0 else "test"
+
+        for epoch in range(1, self.cfg.epochs + 1):
+            rng, ep_rng = jax.random.split(rng)
+            train_loss = self.train_epoch(epoch, ep_rng)
+            if epoch in set(self.cfg.up_epoch):
+                best_loss = float("inf")  # watermark reset (`:138-139`)
+            if self.pretrain:
+                cur = train_loss
+            else:
+                cur = self.val_epoch(epoch, val_split)
+            if cur < best_loss:
+                best_loss = cur
+                not_improved = 0
+                best_params = jax.tree.map(lambda a: a, self.params)
+                self.logger.info("*********Current best model saved!")
+            else:
+                not_improved += 1
+            history.append(train_loss)
+            if train_loss > 1e6:
+                self.logger.warning("Gradient explosion detected. Ending...")
+                break
+            if self.cfg.early_stop and not_improved == self.cfg.early_stop_patience:
+                self.logger.info(
+                    "No improvement for %d epochs; stopping.",
+                    self.cfg.early_stop_patience)
+                break
+
+        self.logger.info(
+            "Total training time: %.4f min, best loss: %.6f",
+            (time.time() - start) / 60, best_loss)
+        self.params = best_params
+        if self.log_dir:
+            self.save_checkpoint(os.path.join(self.log_dir, "best_model"))
+        split = "train" if self.pretrain else "test"
+        report = self.test(split=split)
+        return {"best_loss": best_loss, "history": history, "report": report}
+
+    # --- evaluation -------------------------------------------------------
+    def test(self, split: str = "test") -> dict:
+        """Full-split prediction + per-horizon metrics
+        (`BasicTrainer.py:210-248`)."""
+        preds, trues = [], []
+        rng = jax.random.PRNGKey(self.seed + 777)
+        final_epoch = jnp.asarray(self.cfg.epochs, dtype=jnp.int32)
+        for xb, yb in self.dataset.batches(split, self.cfg.batch_size):
+            rng, r = jax.random.split(rng)
+            pred, mask = self._predict(
+                self.params, jnp.asarray(xb), jnp.asarray(yb),
+                final_epoch, r, final=self.pretrain)
+            label = (xb if self.pretrain else yb)[..., : self.cfg.output_dim]
+            if self.pretrain and mask is not None:
+                pred = pred * mask
+                label = jnp.asarray(label) * mask
+            preds.append(np.asarray(pred))
+            trues.append(np.asarray(label))
+        y_pred = np.concatenate(preds, axis=0)
+        y_true = np.concatenate(trues, axis=0)
+        s = self.dataset.scaler_data
+        y_pred = s.inverse_transform(y_pred)
+        y_true = s.inverse_transform(y_true)
+
+        horizons = []
+        for t in range(y_true.shape[1]):
+            mae, rmse, mape, _, c = all_metrics(
+                jnp.asarray(y_pred[:, t]), jnp.asarray(y_true[:, t]),
+                self.cfg.mae_thresh, self.cfg.mape_thresh)
+            horizons.append((float(mae), float(rmse), float(mape), float(c)))
+            self.logger.info(
+                "Horizon %02d, MAE: %.2f, RMSE: %.2f, MAPE: %.4f%%, CORR: %.4f",
+                t + 1, float(mae), float(rmse), float(mape) * 100, float(c))
+        mae, rmse, mape, _, c = all_metrics(
+            jnp.asarray(y_pred), jnp.asarray(y_true),
+            self.cfg.mae_thresh, self.cfg.mape_thresh)
+        self.logger.info(
+            "Average Horizon, MAE: %.2f, RMSE: %.2f, MAPE: %.4f%%, CORR: %.4f",
+            float(mae), float(rmse), float(mape) * 100, float(c))
+        return {
+            "per_horizon": horizons,
+            "average": (float(mae), float(rmse), float(mape), float(c)),
+        }
+
+    # --- checkpointing ----------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        ckpt = ocp.PyTreeCheckpointer()
+        ckpt.save(path, self.params, force=True)
+        self.logger.info("Saved best model to %s", path)
+
+    def load_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.PyTreeCheckpointer()
+        self.params = ckpt.restore(os.path.abspath(path), item=self.params)
