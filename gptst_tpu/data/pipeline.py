@@ -142,6 +142,15 @@ def build_dataset(cfg: FrameworkConfig, data_root: str | None = None,
                   num_steps: int | None = None, seed: int = 0) -> STDataset:
     spec = get_dataset_spec(cfg.dataset)
     raw = load_raw_series(cfg.dataset, data_root, num_steps, seed)
+    if raw.shape[1] != cfg.num_nodes:
+        if raw.shape[1] > cfg.num_nodes:
+            # cfg is the source of truth for model sizing; a smaller
+            # num_nodes (tests, smokes) takes a node subset.
+            raw = raw[:, : cfg.num_nodes]
+        else:
+            raise ValueError(
+                f"dataset has {raw.shape[1]} nodes < cfg.num_nodes="
+                f"{cfg.num_nodes}")
     data = attach_time_channels(raw, spec.week_start, spec.interval)
 
     if cfg.test_ratio > 1:

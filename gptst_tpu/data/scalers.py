@@ -59,7 +59,10 @@ class MinMax11Scaler:
 
 
 def fit_standard_scaler(x: np.ndarray) -> StandardScaler:
-    return StandardScaler(mean=float(x.mean()), std=float(x.std()))
+    std = float(x.std())
+    # guard constant channels (e.g. the weekday channel of a series
+    # shorter than a week) — the reference would divide by zero here
+    return StandardScaler(mean=float(x.mean()), std=std if std > 0 else 1.0)
 
 
 def fit_channel_scalers(

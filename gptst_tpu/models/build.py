@@ -78,6 +78,74 @@ def predictor_forward(cfg: FrameworkConfig, apply_fn) -> Callable:
     return forward
 
 
+# --- top-level mode dispatch (`model/Run.py:72-77`) -------------------------
+
+def build_pretrain(cfg: FrameworkConfig, scaler_zeros: float):
+    """GPT-ST masked-autoencoder pretraining model.
+
+    Returns (init_fn, forward_fn) in the ModelOutput contract.
+    """
+    from gptst_tpu.models.gptst import GPTST, GPTSTConfig
+
+    gcfg = GPTSTConfig.from_framework(cfg, scaler_zeros)
+    model = GPTST(gcfg)
+
+    def init_fn(rng):
+        rng, mask_rng = jax.random.split(rng)
+        x0 = jnp.zeros(
+            (2, cfg.lag, cfg.num_nodes, cfg.input_base_dim + 2), jnp.float32)
+        return model.init(rng, x0, mask_rng, jnp.asarray(1, jnp.int32))
+
+    def forward(params, x, y=None, rng=None, epoch=None) -> ModelOutput:
+        if rng is None:  # encoder-only (enhance / no-mask path)
+            emb = model.apply(params, x)
+            return ModelOutput(pred=emb)
+        flow_out, dec, inv_mask, prob, hs_cat = model.apply(
+            params, x, rng, epoch)
+        return ModelOutput(pred=flow_out, out_time=dec, mask=inv_mask,
+                           probability=prob, routing=hs_cat)
+
+    return init_fn, forward
+
+
+def build_enhanced(cfg: FrameworkConfig, scaler_zeros: float,
+                   pretrain_params: Any, adj: np.ndarray | None = None):
+    """Eval mode: frozen encoder + fusion head + predictor
+    (`model/Model.py:106-117`)."""
+    from gptst_tpu.models.enhance import build_enhance_apply
+    from gptst_tpu.models.gptst import GPTSTConfig
+
+    gcfg = GPTSTConfig.from_framework(cfg, scaler_zeros)
+    pred_init, pred_apply = build_predictor(cfg, dim_in=cfg.hidden_dim, adj=adj)
+    head_init, apply_fn = build_enhance_apply(gcfg, pretrain_params, pred_apply)
+
+    def init_fn(rng):
+        r1, r2 = jax.random.split(rng)
+        x0 = jnp.zeros(
+            (2, cfg.lag, cfg.num_nodes, cfg.input_base_dim + 2), jnp.float32)
+        return {"head": head_init(r1, x0), "predictor": pred_init(r2)}
+
+    def forward(params, x, y=None, rng=None, epoch=None) -> ModelOutput:
+        return ModelOutput(pred=apply_fn(params, x))
+
+    return init_fn, forward
+
+
+def build_model(cfg: FrameworkConfig, scaler_zeros: float = 0.0,
+                pretrain_params: Any = None,
+                adj: np.ndarray | None = None):
+    """Mode dispatch: pretrain -> GPTST; eval -> enhanced; ori -> bare
+    predictor. Returns (init_fn, forward_fn) in the ModelOutput contract."""
+    if cfg.mode == "pretrain":
+        return build_pretrain(cfg, scaler_zeros)
+    if cfg.mode == "eval":
+        if pretrain_params is None:
+            raise ValueError("eval mode requires pretrain_params")
+        return build_enhanced(cfg, scaler_zeros, pretrain_params, adj)
+    init_fn, apply_fn = build_predictor(cfg, adj=adj)
+    return init_fn, predictor_forward(cfg, apply_fn)
+
+
 # --- registrations ----------------------------------------------------------
 
 @register_model("STGCN")
