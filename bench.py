@@ -1,0 +1,87 @@
+"""Benchmark: GPT-ST pretrain train-step throughput on PEMS08 shapes.
+
+Runs the full jitted training step (forward + masked-MAE + KL + grads +
+Adam) at reference scale (N=170 nodes, B=64, T=12, hidden 64) on the
+default JAX backend and prints ONE JSON line:
+
+  {"metric": ..., "value": samples/s, "unit": "samples/s", "vs_baseline": r}
+
+The reference publishes no throughput numbers (BASELINE.md §Throughput);
+`vs_baseline` is measured against the recorded first-round TPU number in
+BASELINE.json["recorded"] when present, else 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gptst_tpu.config import default_config
+    from gptst_tpu.models.build import build_model
+    from gptst_tpu.train.loss import build_loss
+    from gptst_tpu.train.step import make_loss_terms, make_train_step
+
+    cfg = default_config("PEMS08", mode="pretrain", model="STGCN")
+    cfg = cfg.replace(batch_size=64, change_epoch=1, log_dir=None)
+
+    init_fn, forward = build_model(cfg, scaler_zeros=0.0)
+    params = init_fn(jax.random.PRNGKey(0))
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.lr_init))
+    opt_state = optimizer.init(params)
+    loss_fn = build_loss(cfg.loss_func, 0.0, 1.0, cfg.mape_thresh, True)
+    step = jax.jit(make_train_step(
+        make_loss_terms(forward, loss_fn, cfg), optimizer))
+
+    x = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (cfg.batch_size, cfg.lag, cfg.num_nodes, cfg.input_base_dim + 2))
+    epoch = jnp.asarray(5, jnp.int32)
+    rng = jax.random.PRNGKey(2)
+
+    # warmup / compile
+    for _ in range(3):
+        rng, r = jax.random.split(rng)
+        params, opt_state, total, flow = step(
+            params, opt_state, x, x, r, epoch)
+    jax.block_until_ready(params)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        rng, r = jax.random.split(rng)
+        params, opt_state, total, flow = step(
+            params, opt_state, x, x, r, epoch)
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = iters / dt
+    samples_per_s = steps_per_s * cfg.batch_size
+
+    baseline = None
+    try:
+        with open("BASELINE.json") as f:
+            baseline = json.load(f).get("recorded", {}).get(
+                "pretrain_samples_per_s")
+    except Exception:
+        pass
+    vs = samples_per_s / baseline if baseline else 1.0
+
+    print(json.dumps({
+        "metric": "gptst_pretrain_step_throughput_pems08_b64",
+        "value": round(samples_per_s, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

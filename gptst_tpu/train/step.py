@@ -1,0 +1,58 @@
+"""Pure train/eval step builders.
+
+The single jitted train step is the unit both the local `Trainer` and
+the SPMD path (`gptst_tpu.parallel`) compile — the same function runs
+single-chip or under a `Mesh` with sharded operands (GSPMD inserts the
+collectives). Loss assembly mirrors `model/BasicTrainer.py:81-97`:
+pretrain = masked flow loss + 0.1*KL(mask-policy || routing) after
+`change_epoch`; other modes = plain flow loss on the labels.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gptst_tpu.config.config import FrameworkConfig
+from gptst_tpu.models.api import ForwardFn
+from gptst_tpu.train.loss import kl_div_sum
+
+
+def make_loss_terms(forward: ForwardFn, loss_fn: Callable,
+                    cfg: FrameworkConfig) -> Callable:
+    """Returns loss_terms(params, x, y, rng, epoch) -> (total, flow)."""
+    pretrain = cfg.mode == "pretrain"
+
+    def loss_terms(params, x, y, rng, epoch):
+        out = forward(params, x, y, rng, epoch)
+        label = y if not pretrain else x
+        flow_loss = loss_fn(
+            out.pred, label[..., : cfg.output_dim], out.mask)
+        if pretrain and out.probability is not None:
+            kl = kl_div_sum(
+                jnp.log(jnp.maximum(out.probability, 1e-38)), out.routing)
+            total = jnp.where(
+                epoch > cfg.change_epoch, flow_loss + 0.1 * kl, flow_loss)
+        else:
+            total = flow_loss
+        return total, flow_loss
+
+    return loss_terms
+
+
+def make_train_step(loss_terms: Callable,
+                    optimizer: optax.GradientTransformation) -> Callable:
+    """Returns step(params, opt_state, x, y, rng, epoch)
+    -> (params, opt_state, total_loss, flow_loss)."""
+
+    def step(params: Any, opt_state: Any, x, y, rng, epoch):
+        (total, flow), grads = jax.value_and_grad(
+            loss_terms, has_aux=True)(params, x, y, rng, epoch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total, flow
+
+    return step

@@ -37,7 +37,8 @@ from gptst_tpu.config.config import FrameworkConfig
 from gptst_tpu.data.pipeline import STDataset
 from gptst_tpu.eval.metrics import all_metrics
 from gptst_tpu.models.api import ForwardFn
-from gptst_tpu.train.loss import build_loss, kl_div_sum
+from gptst_tpu.train.loss import build_loss
+from gptst_tpu.train.step import make_loss_terms, make_train_step
 from gptst_tpu.utils.logger import get_logger
 
 
@@ -84,33 +85,14 @@ class Trainer:
         self.loss_fn = build_loss(
             self.cfg.loss_func, s.mean, s.std, self.cfg.mape_thresh,
             self.pretrain)
-        self._train_step = jax.jit(self._train_step_impl)
+        self._loss_terms = make_loss_terms(self.forward, self.loss_fn, self.cfg)
+        self._train_step = jax.jit(
+            make_train_step(self._loss_terms, self.optimizer))
         self._eval_loss = jax.jit(self._eval_loss_impl)
         self._predict = jax.jit(self._predict_impl, static_argnames=("final",))
         self.batch_seen = 0
 
     # --- jitted kernels -------------------------------------------------
-    def _loss_terms(self, params, x, y, rng, epoch):
-        out = self.forward(params, x, y, rng, epoch)
-        label = y if not self.pretrain else x
-        flow_loss = self.loss_fn(
-            out.pred, label[..., : self.cfg.output_dim], out.mask)
-        if self.pretrain and out.probability is not None:
-            kl = kl_div_sum(
-                jnp.log(jnp.maximum(out.probability, 1e-38)), out.routing)
-            total = jnp.where(
-                epoch > self.cfg.change_epoch, flow_loss + 0.1 * kl, flow_loss)
-        else:
-            total = flow_loss
-        return total, flow_loss
-
-    def _train_step_impl(self, params, opt_state, x, y, rng, epoch):
-        (total, flow), grads = jax.value_and_grad(
-            self._loss_terms, has_aux=True)(params, x, y, rng, epoch)
-        updates, opt_state = self.optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, total, flow
-
     def _eval_loss_impl(self, params, x, y):
         out = self.forward(params, x, y, None, None)
         label = y
