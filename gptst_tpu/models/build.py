@@ -69,10 +69,12 @@ def build_predictor(cfg: FrameworkConfig, dim_in: int | None = None,
 
 
 def predictor_forward(cfg: FrameworkConfig, apply_fn) -> Callable:
-    """Wrap a bare predictor into the ModelOutput contract (ori mode)."""
+    """Wrap a bare predictor into the ModelOutput contract (ori mode).
+
+    `rng` (when given, i.e. during training) drives dropout."""
 
     def forward(params, x, y=None, rng=None, epoch=None) -> ModelOutput:
-        pred = apply_fn(params, x[..., : cfg.input_base_dim])
+        pred = apply_fn(params, x[..., : cfg.input_base_dim], rng)
         return ModelOutput(pred=pred)
 
     return forward
@@ -126,7 +128,7 @@ def build_enhanced(cfg: FrameworkConfig, scaler_zeros: float,
         return {"head": head_init(r1, x0), "predictor": pred_init(r2)}
 
     def forward(params, x, y=None, rng=None, epoch=None) -> ModelOutput:
-        return ModelOutput(pred=apply_fn(params, x))
+        return ModelOutput(pred=apply_fn(params, x, rng))
 
     return init_fn, forward
 
@@ -160,7 +162,53 @@ def _build_stgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
         x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
         return model.init(rng, x0, cheb)
 
-    def apply_fn(params, x_base):
+    def apply_fn(params, x_base, rng=None):
+        if rng is not None and pcfg.drop_prob > 0:
+            return model.apply(params, x_base, cheb, deterministic=False,
+                               rngs={"dropout": rng})
         return model.apply(params, x_base, cheb)
+
+    return init_fn, apply_fn
+
+
+@register_model("TGCN")
+def _build_tgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
+    from gptst_tpu.graph.artifacts import sym_adj
+    from gptst_tpu.models.predictors.tgcn import TGCN, TGCNConfig
+
+    pcfg = TGCNConfig(num_nodes=cfg.num_nodes)
+    support = jnp.asarray(sym_adj(adj))
+    model = TGCN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
+                 horizon=cfg.horizon)
+
+    def init_fn(rng):
+        x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
+        return model.init(rng, x0, support)
+
+    def apply_fn(params, x_base, rng=None):
+        return model.apply(params, x_base, support)
+
+    return init_fn, apply_fn
+
+
+@register_model("GWN")
+def _build_gwn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
+    from gptst_tpu.models.predictors.gwn import GWN, GWNConfig
+
+    pcfg = GWNConfig(num_nodes=cfg.num_nodes)
+    # conf/GWN/*: aptonly=True -> no static supports, adaptive adj only
+    supports = ()
+    model = GWN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
+                horizon=cfg.horizon)
+
+    def init_fn(rng):
+        x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
+        return model.init(rng, x0, supports)
+
+    def apply_fn(params, x_base, rng=None):
+        if rng is not None and pcfg.dropout > 0:
+            return model.apply(params, x_base, supports, deterministic=False,
+                               rngs={"dropout": rng})
+        return model.apply(params, x_base, supports)
 
     return init_fn, apply_fn

@@ -1,0 +1,45 @@
+"""TGCN — temporal graph convolutional network (graph-GRU).
+
+TPU-native counterpart of `model/TGCN/TGCN.py` (174 LoC): a GRU whose
+gates are graph convolutions over D^-1/2 (A+I) D^-1/2, followed by a
+linear readout of all horizons from the final state
+(`TGCN.py:147,172-174`). The reference's Python loop over T
+(`TGCN.py:168-169`) and its `torch.sparse.mm` become a `lax.scan` over
+a dense MXU matmul (N <= 266). Defaults follow `conf/TGCN/*.conf`
+(rnn_units=100).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from gptst_tpu.ops.recurrent import GraphGRUCell, scan_over_time
+
+
+@dataclasses.dataclass(frozen=True)
+class TGCNConfig:
+    num_nodes: int
+    rnn_units: int = 100
+    lam: float = 0.0015  # L2 weight used by the reference's lreg variant
+
+
+class TGCN(nn.Module):
+    """x: (B, T, N, dim_in) -> (B, T_out, N, dim_out)."""
+
+    cfg: TGCNConfig
+    dim_in: int
+    dim_out: int
+    horizon: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, support: jnp.ndarray) -> jnp.ndarray:
+        B, _, N, _ = x.shape
+        scanned = scan_over_time(GraphGRUCell, num_units=self.cfg.rnn_units)
+        h0 = jnp.zeros((B, N, self.cfg.rnn_units), x.dtype)
+        h, _ = scanned(h0, x, support)
+        out = nn.Dense(self.horizon * self.dim_out)(h)  # (B, N, T_out*D)
+        out = out.reshape(B, N, self.horizon, self.dim_out)
+        return jnp.transpose(out, (0, 2, 1, 3))

@@ -1,0 +1,69 @@
+"""Recurrent graph cells as scanned XLA programs.
+
+The reference's recurrent predictors loop over time in Python
+(`model/TGCN/TGCN.py:168-169`, `model/MSDR/gmsdr_model.py:120,138`,
+`model/CCRNN_demand/CCRNN.py:85-88`); here every cell is a flax module
+whose `__call__(carry, x_t, *broadcast)` -> (carry', y_t) is lifted
+over the time axis with `nn.scan` (params broadcast, one compiled
+while-program, static shapes).
+
+States are (B, N, H) node-feature maps; graph supports act on N.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gptst_tpu.ops.graph_conv import graph_matmul
+
+xavier_normal = nn.initializers.xavier_normal()
+
+
+class GraphGRUCell(nn.Module):
+    """TGCN's GRU-with-graph-conv-gates (`model/TGCN/TGCN.py:71-129`).
+
+    gates = sigmoid(W0 · A_norm [x ‖ h] + b0) -> r, u
+    c     = tanh  (W1 · A_norm [x ‖ r*h] + b1)
+    h'    = u * h + (1 - u) * c
+    """
+
+    num_units: int
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, x: jnp.ndarray,
+                 support: jnp.ndarray):
+        # h: (B, N, U), x: (B, N, D), support: (N, N)
+        d = x.shape[-1]
+        u_ = self.num_units
+        w0 = self.param("weights_0", xavier_normal, (d + u_, 2 * u_))
+        b0 = self.param("bias_0", nn.initializers.zeros, (2 * u_,))
+        w1 = self.param("weights_1", xavier_normal, (d + u_, u_))
+        b1 = self.param("bias_1", nn.initializers.zeros, (u_,))
+
+        def gc(inp, state, w, b):
+            z = jnp.concatenate([inp, state], axis=-1)
+            return graph_matmul(support, z) @ w + b
+
+        value = jax.nn.sigmoid(gc(x, h, w0, b0))
+        r, u = jnp.split(value, 2, axis=-1)
+        c = jnp.tanh(gc(x, r * h, w1, b1))
+        h_new = u * h + (1.0 - u) * c
+        return h_new, h_new
+
+
+def scan_over_time(cell_cls, n_broadcast: int = 1, **cell_kwargs):
+    """Lift a cell over the time axis of (B, T, N, D) inputs.
+
+    cell_cls.__call__(carry, x_t, *broadcast_args) -> (carry', y_t).
+    Returns a module called as m(h0, xs, *broadcast_args) ->
+    (h_final, ys) with ys stacked on axis 1.
+    """
+    return nn.scan(
+        cell_cls,
+        variable_broadcast="params",
+        split_rngs={"params": False, "dropout": True},
+        in_axes=tuple([1] + [nn.broadcast] * n_broadcast),
+        out_axes=1,
+    )(**cell_kwargs)

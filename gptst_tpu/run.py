@@ -1,0 +1,144 @@
+"""Experiment driver CLI — counterpart of `model/Run.py`.
+
+Usage (mirrors `readme.md:63-82`):
+
+  python -m gptst_tpu.run -dataset PEMS08 -mode ori      -model STGCN
+  python -m gptst_tpu.run -dataset PEMS08 -mode pretrain
+  python -m gptst_tpu.run -dataset PEMS08 -mode eval     -model STGCN
+  python -m gptst_tpu.run -dataset PEMS08 -mode test     -model STGCN
+
+Single-hyphen flags override the framework config (any FrameworkConfig
+field); the reference's double-hyphen predictor flags map onto the same
+namespace here (predictor hyperparameters live in each predictor's
+dataclass defaults, from the reference `conf/<MODEL>/*.conf`). Extras:
+`-num_steps` truncates/limits the synthetic dataset length and
+`-data_root` points at real `.npz` files.
+
+Flow (`model/Run.py`): config -> seed -> dataset -> model -> trainer.
+Pretrain saves its params to `<log_dir>/<save_pretrain_path>`; eval
+mode restores and freezes them (`model/Model.py:95-98`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+from typing import Any, Optional
+
+import numpy as np
+
+
+def parse_args(argv: Optional[list[str]] = None):
+    from gptst_tpu.config.config import FrameworkConfig
+
+    p = argparse.ArgumentParser(
+        prog="gptst_tpu.run", prefix_chars="-",
+        description="TPU-native GPT-ST framework driver")
+    p.add_argument("-dataset", default="PEMS08")
+    p.add_argument("-mode", default="ori",
+                   choices=["ori", "eval", "pretrain", "test"])
+    p.add_argument("-model", default="STGCN")
+    p.add_argument("-num_steps", type=int, default=None,
+                   help="truncate dataset length (synthetic fallback)")
+    p.add_argument("-data_root", type=str, default=None)
+    p.add_argument("-device_seed", type=int, default=None)
+    # every FrameworkConfig field becomes an override flag
+    for f in dataclasses.fields(FrameworkConfig):
+        if f.name in ("dataset", "mode", "model"):
+            continue
+        p.add_argument(f"-{f.name}", f"--{f.name}", default=None, type=str)
+    return p.parse_args(argv)
+
+
+def make_config(ns: argparse.Namespace):
+    from gptst_tpu.config.config import FrameworkConfig, default_config
+
+    cfg = default_config(ns.dataset, mode=ns.mode, model=ns.model)
+    overrides: dict[str, Any] = {}
+    for f in dataclasses.fields(FrameworkConfig):
+        v = getattr(ns, f.name, None)
+        if f.name in ("dataset", "mode", "model") or v is None:
+            continue
+        # parse strings into the field's type
+        ft = str(f.type)
+        if "bool" in ft:
+            overrides[f.name] = str(v).strip().lower() in ("true", "1", "yes")
+        elif "int" in ft and "Sequence" not in ft:
+            overrides[f.name] = int(v)
+        elif "float" in ft:
+            overrides[f.name] = None if str(v).lower() == "none" else float(v)
+        elif "Sequence" in ft:
+            overrides[f.name] = tuple(
+                int(i) for i in str(v).split(",") if i.strip())
+        else:
+            overrides[f.name] = v
+    return cfg.replace(**overrides)
+
+
+def _pretrain_ckpt_path(cfg, save: bool) -> str:
+    name = cfg.save_pretrain_path if save else cfg.load_pretrain_path
+    return os.path.abspath(os.path.join(cfg.log_dir, cfg.dataset, name))
+
+
+def load_pretrain_params(cfg, scaler_zeros: float):
+    """Restore pretrain params for eval mode (`model/Model.py:95-98`)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from gptst_tpu.models.build import build_pretrain
+
+    init_fn, _ = build_pretrain(cfg.replace(mode="pretrain"), scaler_zeros)
+    template = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    path = _pretrain_ckpt_path(cfg, save=False)
+    return ocp.PyTreeCheckpointer().restore(path, item=template)
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    ns = parse_args(argv)
+    cfg = make_config(ns)
+
+    import jax
+
+    from gptst_tpu.data import build_dataset
+    from gptst_tpu.models.build import build_model
+    from gptst_tpu.train import Trainer
+    from gptst_tpu.utils.logger import get_logger
+
+    logger = get_logger("run", debug=cfg.debug)
+    logger.info("dataset=%s mode=%s model=%s devices=%s",
+                cfg.dataset, cfg.mode, cfg.model, jax.devices())
+
+    np.random.seed(cfg.seed)
+    ds = build_dataset(cfg, data_root=ns.data_root, num_steps=ns.num_steps,
+                       seed=cfg.seed)
+
+    pretrain_params = None
+    if cfg.mode in ("eval",):
+        pretrain_params = load_pretrain_params(cfg, ds.scaler_zeros)
+
+    init_fn, forward = build_model(
+        cfg, scaler_zeros=ds.scaler_zeros, pretrain_params=pretrain_params)
+    params = init_fn(jax.random.PRNGKey(cfg.seed))
+
+    log_dir = os.path.join(cfg.log_dir, cfg.dataset)
+    os.makedirs(log_dir, exist_ok=True)
+    tr = Trainer(forward=forward, params=params, cfg=cfg, dataset=ds,
+                 seed=cfg.seed, log_dir=log_dir)
+
+    if cfg.mode == "test":
+        tr.load_checkpoint(os.path.join(log_dir, "best_model"))
+        tr.test()
+        return 0
+
+    result = tr.train()
+    if cfg.mode == "pretrain":
+        tr.save_checkpoint(_pretrain_ckpt_path(cfg, save=True))
+    logger.info("best loss: %.6f  avg MAE: %.4f", result["best_loss"],
+                result["report"]["average"][0])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

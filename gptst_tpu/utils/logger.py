@@ -11,6 +11,7 @@ def get_logger(name: str, log_dir: str | None = None,
                debug: bool = True) -> logging.Logger:
     logger = logging.getLogger(name)
     logger.setLevel(logging.DEBUG if debug else logging.INFO)
+    logger.propagate = False  # avoid double-printing via the root logger
     if not logger.handlers:
         console = logging.StreamHandler()
         console.setFormatter(logging.Formatter("%(asctime)s: %(message)s"))
