@@ -167,6 +167,19 @@ _DATASET_DELTAS: dict[str, dict] = {
 }
 
 
+# Per-predictor [train] overrides from `conf/<MODEL>/*.conf`. In the
+# reference, predictor args override framework args for overlapping
+# names in non-pretrain modes (`model/Run.py:37-43`) — this table is
+# that merge, made explicit. Entries omitted where the predictor conf
+# matches the framework default (mask_mae, xavier=False).
+PREDICTOR_TRAIN_DEFAULTS: dict[str, dict] = {
+    "STSGCN": {"loss_func": "mask_huber"},
+    "STFGNN": {"loss_func": "mask_huber"},
+    "STGODE": {"loss_func": "mask_huber", "xavier": True},
+    "ASTGCN": {"xavier": True},
+}
+
+
 def default_config(dataset: str, mode: str = "ori",
                    model: str = "STGCN", **overrides) -> FrameworkConfig:
     """Built-in defaults mirroring `conf/GPTST_pretrain/<dataset>.conf`."""
@@ -179,5 +192,7 @@ def default_config(dataset: str, mode: str = "ori",
         mae_thresh=spec.mae_thresh, mape_thresh=spec.mape_thresh,
     )
     base.update(_DATASET_DELTAS[dataset])
+    if mode != "pretrain":
+        base.update(PREDICTOR_TRAIN_DEFAULTS.get(model, {}))
     base.update(overrides)
     return FrameworkConfig(**base)

@@ -191,6 +191,86 @@ def _build_tgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     return init_fn, apply_fn
 
 
+@register_model("STSGCN")
+def _build_stsgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
+    from gptst_tpu.models.predictors.stsgcn import (
+        STSGCN, STSGCNConfig, construct_sync_adj,
+    )
+
+    pcfg = STSGCNConfig(num_nodes=cfg.num_nodes)
+    sync_adj = jnp.asarray(construct_sync_adj(adj, pcfg.steps))
+    model = STSGCN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
+                   horizon=cfg.horizon, lag=cfg.lag)
+
+    def init_fn(rng):
+        x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
+        return model.init(rng, x0, sync_adj)
+
+    def apply_fn(params, x_base, rng=None):
+        return model.apply(params, x_base, sync_adj)
+
+    return init_fn, apply_fn
+
+
+@register_model("DMVSTNET")
+def _build_dmvstnet(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
+    from gptst_tpu.models.predictors.dmvstnet import DMVSTNet, DMVSTNetConfig
+
+    pcfg = DMVSTNetConfig(num_nodes=cfg.num_nodes)
+    adj_j = jnp.asarray(adj)
+    model = DMVSTNet(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim)
+
+    def init_fn(rng):
+        x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
+        return model.init(rng, x0, adj_j)
+
+    def apply_fn(params, x_base, rng=None):
+        return model.apply(params, x_base, adj_j)
+
+    return init_fn, apply_fn
+
+
+@register_model("ASTGCN")
+def _build_astgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
+    from gptst_tpu.models.predictors.astgcn import ASTGCN, ASTGCNConfig
+
+    pcfg = ASTGCNConfig(num_nodes=cfg.num_nodes)
+    cheb = jnp.asarray(cheb_poly_stack(scaled_laplacian(adj), pcfg.K))
+    model = ASTGCN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
+                   horizon=cfg.horizon, lag=cfg.lag)
+
+    def init_fn(rng):
+        x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
+        return model.init(rng, x0, cheb)
+
+    def apply_fn(params, x_base, rng=None):
+        return model.apply(params, x_base, cheb)
+
+    return init_fn, apply_fn
+
+
+@register_model("MTGNN")
+def _build_mtgnn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
+    from gptst_tpu.models.predictors.mtgnn import MTGNN, MTGNNConfig
+
+    pcfg = MTGNNConfig(num_nodes=cfg.num_nodes)
+    model = MTGNN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
+                  horizon=cfg.horizon, lag=cfg.lag)
+    pre_adj = jnp.asarray(adj - np.eye(cfg.num_nodes, dtype=adj.dtype))
+
+    def init_fn(rng):
+        x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
+        return model.init(rng, x0, pre_adj)
+
+    def apply_fn(params, x_base, rng=None):
+        if rng is not None and pcfg.dropout > 0:
+            return model.apply(params, x_base, pre_adj, deterministic=False,
+                               rngs={"dropout": rng})
+        return model.apply(params, x_base, pre_adj)
+
+    return init_fn, apply_fn
+
+
 @register_model("GWN")
 def _build_gwn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     from gptst_tpu.models.predictors.gwn import GWN, GWNConfig

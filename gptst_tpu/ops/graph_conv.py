@@ -94,18 +94,18 @@ def adaptive_adj(e1: jnp.ndarray, e2: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.softmax(jax.nn.relu(e1 @ e2), axis=1)
 
 
-def mtgnn_graph(e1: jnp.ndarray, e2: jnp.ndarray,
-                lin1_w: jnp.ndarray, lin2_w: jnp.ndarray,
+def mtgnn_graph(v1: jnp.ndarray, v2: jnp.ndarray,
                 alpha: float, k: int) -> jnp.ndarray:
     """MTGNN learned directed graph with top-k sparsification
     (`model/MTGNN/MTGNN.py:149-202`).
 
-    a = relu(tanh(alpha * (m1 m2^T - m2 m1^T))), keep top-k per row.
-    Top-k is implemented with a static-shape threshold mask (XLA
-    top_k), matching the reference's scatter-based mask exactly.
+    v1, v2: (N, d) linearly-transformed node embeddings.
+    m_i = tanh(alpha * v_i); a = relu(tanh(alpha*(m1 m2^T - m2 m1^T))),
+    keep top-k per row. Top-k is a static-shape threshold mask (XLA
+    top_k), matching the reference's scatter-based mask.
     """
-    m1 = jnp.tanh(alpha * (e1 @ lin1_w))
-    m2 = jnp.tanh(alpha * (e2 @ lin2_w))
+    m1 = jnp.tanh(alpha * v1)
+    m2 = jnp.tanh(alpha * v2)
     a = jax.nn.relu(jnp.tanh(alpha * (m1 @ m2.T - m2 @ m1.T)))
     n = a.shape[0]
     if k >= n:

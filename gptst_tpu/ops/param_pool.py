@@ -32,6 +32,8 @@ def node_param_linear(x: jnp.ndarray, node_emb: jnp.ndarray,
     # Fused: out[b,t,n,o] = sum_{d,i} node_emb[n,d] w_pool[d,i,o] x[b,t,n,i]
     weights = jnp.einsum("nd,dio->nio", node_emb, w_pool)
     out = jnp.einsum("btni,nio->btno", x, weights)
+    if b_pool is None:
+        return out
     return out + node_emb @ b_pool
 
 
