@@ -117,6 +117,53 @@ def random_sensor_graph(num_nodes: int, avg_degree: int = 6,
     return a
 
 
+def svd_rbf_support(series: np.ndarray, hidden_size: int = 20) -> np.ndarray:
+    """CCRNN data-driven support (`model/CCRNN_demand/args.py:40-76`).
+
+    series: (T, N, D) training-period data. SVD-compress to (N, h) node
+    factors w = (diag(s_h) V_h)^T, RBF of pairwise euclidean distances
+    exp(-d / std(d)^2), remove self loops, random-walk normalize.
+    """
+    t, n, d = series.shape
+    flat = np.moveaxis(series, 2, 1).reshape(t * d, n)
+    _, s, v = np.linalg.svd(flat, full_matrices=False)
+    h = min(hidden_size, s.shape[0])
+    w = (np.diag(s[:h]) @ v[:h]).T                         # (N, h)
+    diff = w[:, None, :] - w[None, :, :]
+    dist = np.sqrt((diff * diff).sum(-1))
+    sup = np.exp(-dist / max(np.std(dist), 1e-8) ** 2)
+    sup = sup - np.eye(n)
+    return asym_adj(sup)
+
+
+def pearson_graph(series: np.ndarray) -> np.ndarray:
+    """Node-wise Pearson correlation graph (STMGCN's `pcc` input,
+    `model/STMGCN_demand/args.py`). series: (T, N, D); negative
+    correlations clipped to 0, self loops removed."""
+    t, n, d = series.shape
+    flat = series.reshape(t, n * d) if d == 1 else series.mean(-1)
+    flat = flat.reshape(t, n)
+    c = np.corrcoef(flat.T)
+    c = np.nan_to_num(c)
+    np.fill_diagonal(c, 0.0)
+    return np.maximum(c, 0.0).astype(np.float32)
+
+
+def cheb_poly_stack_rescaled(adj: np.ndarray, k: int) -> np.ndarray:
+    """STMGCN chebyshev kernel stack (K+1 terms) of the rescaled
+    symmetric laplacian (`model/STMGCN_demand/GCN.py:61-140`)."""
+    d = adj.sum(axis=1)
+    d_inv_sqrt = np.where(d > 0, 1.0 / np.sqrt(np.maximum(d, 1e-12)), 0.0)
+    a_norm = adj * d_inv_sqrt[:, None] * d_inv_sqrt[None, :]
+    lap = np.eye(adj.shape[0]) - a_norm
+    try:
+        lam = float(np.max(np.linalg.eigvals(lap).real))
+    except np.linalg.LinAlgError:
+        lam = 2.0
+    lap = (2.0 / lam) * lap - np.eye(adj.shape[0])
+    return np.nan_to_num(cheb_poly_stack(lap, k + 1)).astype(np.float32)
+
+
 def dense_to_edges(adj: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(row, col, weight) COO triplets of nonzero entries, row-major."""
     rows, cols = np.nonzero(adj)

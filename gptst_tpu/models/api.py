@@ -22,8 +22,9 @@ class ModelOutput(NamedTuple):
     routing: Optional[jnp.ndarray] = None   # capsule assignment HS_cat (pretrain)
 
 
-# A forward function: (params, x, y, rng, epoch) -> ModelOutput.
+# A forward function: (params, x, y, rng, epoch, step) -> ModelOutput.
 # `y` is the label (used only by teacher-forcing predictors), `rng` a
-# PRNG key (mask sampling / dropout), `epoch` drives the mask curriculum.
-ForwardFn = Callable[[Any, jnp.ndarray, Optional[jnp.ndarray],
-                      Optional[jnp.ndarray], Optional[int]], ModelOutput]
+# PRNG key (mask sampling / dropout / scheduled sampling), `epoch`
+# drives the mask curriculum, `step` is the global batches-seen counter
+# (CCRNN's scheduled-sampling threshold, `model/CCRNN_demand/CCRNN.py:194`).
+ForwardFn = Callable[..., ModelOutput]

@@ -73,8 +73,9 @@ def predictor_forward(cfg: FrameworkConfig, apply_fn) -> Callable:
 
     `rng` (when given, i.e. during training) drives dropout."""
 
-    def forward(params, x, y=None, rng=None, epoch=None) -> ModelOutput:
-        pred = apply_fn(params, x[..., : cfg.input_base_dim], rng)
+    def forward(params, x, y=None, rng=None, epoch=None, step=None) -> ModelOutput:
+        pred = apply_fn(params, x[..., : cfg.input_base_dim], rng,
+                        y=y, step=step)
         return ModelOutput(pred=pred)
 
     return forward
@@ -98,7 +99,7 @@ def build_pretrain(cfg: FrameworkConfig, scaler_zeros: float):
             (2, cfg.lag, cfg.num_nodes, cfg.input_base_dim + 2), jnp.float32)
         return model.init(rng, x0, mask_rng, jnp.asarray(1, jnp.int32))
 
-    def forward(params, x, y=None, rng=None, epoch=None) -> ModelOutput:
+    def forward(params, x, y=None, rng=None, epoch=None, step=None) -> ModelOutput:
         if rng is None:  # encoder-only (enhance / no-mask path)
             emb = model.apply(params, x)
             return ModelOutput(pred=emb)
@@ -127,8 +128,8 @@ def build_enhanced(cfg: FrameworkConfig, scaler_zeros: float,
             (2, cfg.lag, cfg.num_nodes, cfg.input_base_dim + 2), jnp.float32)
         return {"head": head_init(r1, x0), "predictor": pred_init(r2)}
 
-    def forward(params, x, y=None, rng=None, epoch=None) -> ModelOutput:
-        return ModelOutput(pred=apply_fn(params, x, rng))
+    def forward(params, x, y=None, rng=None, epoch=None, step=None) -> ModelOutput:
+        return ModelOutput(pred=apply_fn(params, x, rng, y=y, step=step))
 
     return init_fn, forward
 
@@ -162,7 +163,7 @@ def _build_stgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
         x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
         return model.init(rng, x0, cheb)
 
-    def apply_fn(params, x_base, rng=None):
+    def apply_fn(params, x_base, rng=None, y=None, step=None):
         if rng is not None and pcfg.drop_prob > 0:
             return model.apply(params, x_base, cheb, deterministic=False,
                                rngs={"dropout": rng})
@@ -185,8 +186,82 @@ def _build_tgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
         x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
         return model.init(rng, x0, support)
 
-    def apply_fn(params, x_base, rng=None):
+    def apply_fn(params, x_base, rng=None, y=None, step=None):
         return model.apply(params, x_base, support)
+
+    return init_fn, apply_fn
+
+
+@register_model("CCRNN")
+def _build_ccrnn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
+    from gptst_tpu.data.pipeline import load_raw_series, split_by_ratio
+    from gptst_tpu.graph.artifacts import svd_rbf_support
+    from gptst_tpu.models.predictors.ccrnn import (
+        CCRNN, CCRNNConfig, svd_graph_embeddings,
+    )
+
+    pcfg = CCRNNConfig(num_nodes=cfg.num_nodes,
+                       n_dim=min(50, cfg.num_nodes))
+    # data-driven support from the training period (`args.py:57-76`)
+    raw = load_raw_series(cfg.dataset)[:, : cfg.num_nodes]
+    train, _, _ = split_by_ratio(raw, cfg.val_ratio, cfg.test_ratio)
+    support = svd_rbf_support(train, hidden_size=20)
+    e1, e2 = svd_graph_embeddings(support, pcfg.n_dim)
+    model = CCRNN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
+                  horizon=cfg.horizon, emb1_init=e1, emb2_init=e2)
+
+    def init_fn(rng):
+        x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
+        return model.init(rng, x0)
+
+    def apply_fn(params, x_base, rng=None, y=None, step=None):
+        return model.apply(params, x_base, y, rng, step)
+
+    return init_fn, apply_fn
+
+
+@register_model("STMGCN")
+def _build_stmgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
+    from gptst_tpu.data.pipeline import load_raw_series, split_by_ratio
+    from gptst_tpu.graph.artifacts import cheb_poly_stack_rescaled, pearson_graph
+    from gptst_tpu.models.predictors.stmgcn import STMGCN, STMGCNConfig
+
+    pcfg = STMGCNConfig(num_nodes=cfg.num_nodes)
+    raw = load_raw_series(cfg.dataset)[:, : cfg.num_nodes]
+    train, _, _ = split_by_ratio(raw, cfg.val_ratio, cfg.test_ratio)
+    stacks = jnp.asarray(np.stack([
+        cheb_poly_stack_rescaled(adj, pcfg.cheb_k),
+        cheb_poly_stack_rescaled(pearson_graph(train), pcfg.cheb_k),
+    ]))
+    model = STMGCN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim)
+
+    def init_fn(rng):
+        x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
+        return model.init(rng, x0, stacks)
+
+    def apply_fn(params, x_base, rng=None, y=None, step=None):
+        return model.apply(params, x_base, stacks)
+
+    return init_fn, apply_fn
+
+
+@register_model("MSDR")
+def _build_msdr(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
+    from gptst_tpu.models.predictors.msdr import (
+        MSDR, MSDRConfig, dual_random_walk_supports,
+    )
+
+    pcfg = MSDRConfig(num_nodes=cfg.num_nodes)
+    supports = jnp.asarray(np.stack(dual_random_walk_supports(adj)))
+    model = MSDR(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
+                 horizon=cfg.horizon)
+
+    def init_fn(rng):
+        x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
+        return model.init(rng, x0, supports)
+
+    def apply_fn(params, x_base, rng=None, y=None, step=None):
+        return model.apply(params, x_base, supports)
 
     return init_fn, apply_fn
 
@@ -206,7 +281,7 @@ def _build_stsgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
         x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
         return model.init(rng, x0, sync_adj)
 
-    def apply_fn(params, x_base, rng=None):
+    def apply_fn(params, x_base, rng=None, y=None, step=None):
         return model.apply(params, x_base, sync_adj)
 
     return init_fn, apply_fn
@@ -224,7 +299,7 @@ def _build_dmvstnet(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
         x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
         return model.init(rng, x0, adj_j)
 
-    def apply_fn(params, x_base, rng=None):
+    def apply_fn(params, x_base, rng=None, y=None, step=None):
         return model.apply(params, x_base, adj_j)
 
     return init_fn, apply_fn
@@ -243,7 +318,7 @@ def _build_astgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
         x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
         return model.init(rng, x0, cheb)
 
-    def apply_fn(params, x_base, rng=None):
+    def apply_fn(params, x_base, rng=None, y=None, step=None):
         return model.apply(params, x_base, cheb)
 
     return init_fn, apply_fn
@@ -262,7 +337,7 @@ def _build_mtgnn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
         x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
         return model.init(rng, x0, pre_adj)
 
-    def apply_fn(params, x_base, rng=None):
+    def apply_fn(params, x_base, rng=None, y=None, step=None):
         if rng is not None and pcfg.dropout > 0:
             return model.apply(params, x_base, pre_adj, deterministic=False,
                                rngs={"dropout": rng})
@@ -285,7 +360,7 @@ def _build_gwn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
         x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
         return model.init(rng, x0, supports)
 
-    def apply_fn(params, x_base, rng=None):
+    def apply_fn(params, x_base, rng=None, y=None, step=None):
         if rng is not None and pcfg.dropout > 0:
             return model.apply(params, x_base, supports, deterministic=False,
                                rngs={"dropout": rng})

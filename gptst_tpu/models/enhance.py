@@ -72,9 +72,9 @@ def build_enhance_apply(
         emb = encode(sample_source)
         return head.init(rng, sample_source, emb)
 
-    def apply_fn(params, source, rng=None):
+    def apply_fn(params, source, rng=None, y=None, step=None):
         emb = encode(source)
         fused = head.apply(params["head"], source, emb)
-        return predictor_apply(params["predictor"], fused, rng)
+        return predictor_apply(params["predictor"], fused, rng, y=y, step=step)
 
     return head_init, apply_fn

@@ -1,0 +1,159 @@
+"""MSDR — multi-step dependency relation networks (GMSDR).
+
+TPU-native counterpart of `model/MSDR/gmsdr_model.py` + `gmsdr_cell.py`
+(357 LoC): a seq2seq stack of GMSDR cells that keep a rolling window of
+the last `pre_k`=4 hidden states. Per step (`gmsdr_cell.py:109-130`):
+
+  preH      = concat of the last pre_v hidden states
+  conv      = leaky_relu(gconv([x ‖ preH]))   # diffusion over dual
+              random-walk supports + adaptive softmax(relu(E1 E2)),
+              max_diffusion_step=1 -> [z, S1 z, S2 z, A z] concat
+  output    = conv @ W + b + attention(hx_k + R)
+  hx_k      <- shift-append(output)
+
+W, b, R and the attention linear start at zero exactly as the
+reference (`:96-99`); gconv bias starts at 1.0 (`:122`). The Python
+loops over encoder/decoder time (`gmsdr_model.py:120,138`) are
+`nn.scan`s; the pre_k window is a rolling buffer in the carry.
+Defaults follow `conf/MSDR/*.conf` (rnn_units=64, 2 layers, pre_k=4,
+pre_v=1, dual_random_walk).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gptst_tpu.graph.artifacts import asym_adj
+
+xavier_normal = nn.initializers.xavier_normal()
+
+
+@dataclasses.dataclass(frozen=True)
+class MSDRConfig:
+    num_nodes: int
+    rnn_units: int = 64
+    num_rnn_layers: int = 2
+    max_diffusion_step: int = 1
+    pre_k: int = 4
+    pre_v: int = 1
+    adapt_rank: int = 10
+
+
+def dual_random_walk_supports(adj: np.ndarray) -> list[np.ndarray]:
+    """[(D^-1 A)^T, (D^-1 A^T)^T] (`gmsdr_cell.py:86-89`)."""
+    return [asym_adj(adj).T.copy(), asym_adj(adj.T).T.copy()]
+
+
+class GMSDRCell(nn.Module):
+    """One layer's step: (hx_k, x) -> (hx_k', output)."""
+
+    cfg: MSDRConfig
+    dim_in: int
+
+    @nn.compact
+    def __call__(self, hx_k, x, supports):
+        # hx_k: (B, K, N, U); x: (B, N, Din); supports: (S, N, N)
+        c = self.cfg
+        B, K, N, U = hx_k.shape
+        e1 = self.param("nodevec1", nn.initializers.normal(1.0),
+                        (c.num_nodes, c.adapt_rank))
+        e2 = self.param("nodevec2", nn.initializers.normal(1.0),
+                        (c.adapt_rank, c.num_nodes))
+        adp = jax.nn.softmax(jax.nn.relu(e1 @ e2), axis=1)
+
+        pre_h = hx_k[:, -c.pre_v:]                       # (B, pre_v, N, U)
+        pre_h = jnp.moveaxis(pre_h, 1, 2).reshape(B, N, c.pre_v * U)
+        z = jnp.concatenate([x, pre_h], axis=-1)         # (B, N, Z)
+
+        mats = [z]
+        for s in range(supports.shape[0]):
+            h1 = jnp.einsum("nm,bmc->bnc", supports[s], z)
+            mats.append(h1)
+            h0 = z
+            for _ in range(2, c.max_diffusion_step + 1):
+                h2 = 2 * jnp.einsum("nm,bmc->bnc", supports[s], h1) - h0
+                mats.append(h2)
+                h1, h0 = h2, h1
+        h1 = jnp.einsum("nm,bmc->bnc", adp, z)
+        mats.append(h1)
+        h0 = z
+        for _ in range(2, c.max_diffusion_step + 1):
+            h2 = jnp.einsum("nm,bmc->bnc", adp, h1) - h0
+            mats.append(h2)
+            h1, h0 = h2, h1
+        cat = jnp.concatenate(mats, axis=-1)
+        gw = self.param("gconv_w", xavier_normal, (cat.shape[-1], U))
+        gb = self.param("gconv_b", nn.initializers.constant(1.0), (U,))
+        conv = nn.leaky_relu(cat @ gw + gb)
+
+        w = self.param("W", nn.initializers.zeros, (U, U))
+        b = self.param("b", nn.initializers.zeros, (c.num_nodes, U))
+        r = self.param("R", nn.initializers.zeros, (c.pre_k, c.num_nodes, U))
+        att_w = self.param("att_w", nn.initializers.zeros,
+                           (c.num_nodes * U, 1))
+        att_b = self.param("att_b", nn.initializers.zeros, (1,))
+
+        new_states = hx_k + r[None]                      # (B, K, N, U)
+        flat = new_states.reshape(B, K, N * U)
+        weight = jax.nn.softmax(flat @ att_w + att_b, axis=1)
+        att = (flat * weight).sum(axis=1).reshape(B, N, U)
+
+        output = conv @ w + b[None] + att
+        hx_k = jnp.concatenate([hx_k[:, 1:], output[:, None]], axis=1)
+        return hx_k, output
+
+
+class _SeqStep(nn.Module):
+    """One time step through the layer stack (scanned over T)."""
+
+    cfg: MSDRConfig
+    dim_in: int
+
+    @nn.compact
+    def __call__(self, carry, x_t, supports):
+        # carry: (L, B, K, N, U); x_t: (B, N, Din)
+        c = self.cfg
+        out = x_t
+        new_carry = []
+        for layer in range(c.num_rnn_layers):
+            din = self.dim_in if layer == 0 else c.rnn_units
+            hx, out = GMSDRCell(c, din, name=f"cell{layer}")(
+                carry[layer], out, supports)
+            new_carry.append(hx)
+        return jnp.stack(new_carry), out
+
+
+class MSDR(nn.Module):
+    """x: (B, T, N, dim_in) -> (B, T_out, N, dim_out)."""
+
+    cfg: MSDRConfig
+    dim_in: int
+    dim_out: int
+    horizon: int
+
+    @nn.compact
+    def __call__(self, x, supports):
+        c = self.cfg
+        B, T, N, _ = x.shape
+        x = nn.Dense(c.rnn_units, name="enc_mlp")(x)     # (B,T,N,U)
+        h0 = jnp.zeros((c.num_rnn_layers, B, c.pre_k, N, c.rnn_units),
+                       x.dtype)
+        enc = nn.scan(
+            _SeqStep, variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(1, nn.broadcast), out_axes=1,
+        )(c, c.rnn_units, name="encoder")
+        hx_k, enc_out = enc(h0, x, supports)             # enc_out (B,T,N,U)
+
+        dec = nn.scan(
+            _SeqStep, variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(1, nn.broadcast), out_axes=1,
+        )(c, c.rnn_units, name="decoder")
+        _, dec_out = dec(hx_k, enc_out, supports)        # (B,T,N,U)
+        return nn.Dense(self.dim_out, name="projection")(dec_out)

@@ -60,6 +60,7 @@ def run_one_step(cfg: FrameworkConfig, mesh: Mesh, forward: ForwardFn,
     x, y = shard_batch((jnp.asarray(x), jnp.asarray(y)), mesh)
     rng = jax.random.PRNGKey(seed)
     params, opt_state, total, flow = step(
-        params, opt_state, x, y, rng, jnp.asarray(1, jnp.int32))
+        params, opt_state, x, y, rng, jnp.asarray(1, jnp.int32),
+        jnp.asarray(0, jnp.int32))
     jax.block_until_ready(params)
     return float(total), float(flow)

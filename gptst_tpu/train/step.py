@@ -26,8 +26,8 @@ def make_loss_terms(forward: ForwardFn, loss_fn: Callable,
     """Returns loss_terms(params, x, y, rng, epoch) -> (total, flow)."""
     pretrain = cfg.mode == "pretrain"
 
-    def loss_terms(params, x, y, rng, epoch):
-        out = forward(params, x, y, rng, epoch)
+    def loss_terms(params, x, y, rng, epoch, step):
+        out = forward(params, x, y, rng, epoch, step)
         label = y if not pretrain else x
         flow_loss = loss_fn(
             out.pred, label[..., : cfg.output_dim], out.mask)
@@ -48,9 +48,9 @@ def make_train_step(loss_terms: Callable,
     """Returns step(params, opt_state, x, y, rng, epoch)
     -> (params, opt_state, total_loss, flow_loss)."""
 
-    def step(params: Any, opt_state: Any, x, y, rng, epoch):
+    def step(params: Any, opt_state: Any, x, y, rng, epoch, step_count):
         (total, flow), grads = jax.value_and_grad(
-            loss_terms, has_aux=True)(params, x, y, rng, epoch)
+            loss_terms, has_aux=True)(params, x, y, rng, epoch, step_count)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, total, flow

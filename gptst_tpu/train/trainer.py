@@ -114,7 +114,8 @@ class Trainer:
             rng, step_rng = jax.random.split(rng)
             self.params, self.opt_state, loss, flow = self._train_step(
                 self.params, self.opt_state, jnp.asarray(xb), jnp.asarray(yb),
-                step_rng, jnp.asarray(epoch, dtype=jnp.int32))
+                step_rng, jnp.asarray(epoch, dtype=jnp.int32),
+                jnp.asarray(self.batch_seen, dtype=jnp.int32))
             total += float(loss)
             total_flow += float(flow)
             nb += 1

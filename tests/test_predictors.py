@@ -16,7 +16,8 @@ from gptst_tpu.data import build_dataset
 from gptst_tpu.models.build import build_predictor, predictor_forward
 from gptst_tpu.train import Trainer
 
-MODELS = ["STGCN", "TGCN", "GWN", "MTGNN", "ASTGCN", "STSGCN", "DMVSTNET"]
+MODELS = ["STGCN", "TGCN", "GWN", "MTGNN", "ASTGCN", "STSGCN", "DMVSTNET",
+          "MSDR", "CCRNN", "STMGCN"]
 
 
 def _cfg(model, **kw):
