@@ -192,6 +192,90 @@ def _build_tgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     return init_fn, apply_fn
 
 
+@register_model("STGODE")
+def _build_stgode(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
+    from gptst_tpu.config.datasets import get_dataset_spec
+    from gptst_tpu.data.pipeline import load_raw_series
+    from gptst_tpu.graph.dtw import cached_artifact, stgode_dtw_graph
+    from gptst_tpu.models.predictors.stgode import (
+        STGODE, STGODEConfig, stgode_normalized_adj,
+    )
+
+    pcfg = STGODEConfig(num_nodes=cfg.num_nodes)
+    spec = get_dataset_spec(cfg.dataset)
+    spd = (24 * 60) // spec.interval
+    raw = load_raw_series(cfg.dataset)[:, : cfg.num_nodes, 0]
+    mean, std = raw.mean(), max(raw.std(), 1e-8)
+    a_se = cached_artifact(
+        "./.gptst_cache", f"stgode_dtw_{cfg.dataset}_{cfg.num_nodes}",
+        [raw[:1000]],
+        lambda: stgode_dtw_graph((raw - mean) / std, steps_per_day=spd))
+    adj_sp = jnp.asarray(stgode_normalized_adj(adj))
+    adj_se = jnp.asarray(stgode_normalized_adj(a_se))
+    model = STGODE(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
+                   horizon=cfg.horizon, lag=cfg.lag)
+
+    def init_fn(rng):
+        x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
+        return model.init(rng, x0, adj_sp, adj_se)
+
+    def apply_fn(params, x_base, rng=None, y=None, step=None):
+        return model.apply(params, x_base, adj_sp, adj_se)
+
+    return init_fn, apply_fn
+
+
+@register_model("STFGNN")
+def _build_stfgnn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
+    from gptst_tpu.config.datasets import get_dataset_spec
+    from gptst_tpu.data.pipeline import load_raw_series
+    from gptst_tpu.graph.dtw import cached_artifact, stfgnn_dtw_graph
+    from gptst_tpu.models.predictors.stfgnn import (
+        STFGNN, STFGNNConfig, construct_adj_fusion,
+    )
+
+    pcfg = STFGNNConfig(num_nodes=cfg.num_nodes)
+    spec = get_dataset_spec(cfg.dataset)
+    spd = (24 * 60) // spec.interval
+    raw = load_raw_series(cfg.dataset)[:, : cfg.num_nodes, 0]
+    train_days = int((raw.shape[0] // spd) * 0.6)
+    train = raw[: max(train_days, 1) * spd]
+    a_dtw = cached_artifact(
+        "./.gptst_cache", f"stfgnn_dtw_{cfg.dataset}_{cfg.num_nodes}",
+        [raw[:1000]],
+        lambda: stfgnn_dtw_graph(train, steps_per_day=spd))
+    fusion = jnp.asarray(construct_adj_fusion(adj, a_dtw, pcfg.strides))
+    model = STFGNN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
+                   horizon=cfg.horizon, lag=cfg.lag)
+
+    def init_fn(rng):
+        x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
+        return model.init(rng, x0, fusion)
+
+    def apply_fn(params, x_base, rng=None, y=None, step=None):
+        return model.apply(params, x_base, fusion)
+
+    return init_fn, apply_fn
+
+
+@register_model("ST_WA")
+def _build_stwa(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
+    from gptst_tpu.models.predictors.stwa import STWA, STWAConfig
+
+    pcfg = STWAConfig(num_nodes=cfg.num_nodes)
+    model = STWA(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
+                 horizon=cfg.horizon, lag=cfg.lag)
+
+    def init_fn(rng):
+        x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
+        return model.init(rng, x0)
+
+    def apply_fn(params, x_base, rng=None, y=None, step=None):
+        return model.apply(params, x_base, rng)
+
+    return init_fn, apply_fn
+
+
 @register_model("CCRNN")
 def _build_ccrnn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     from gptst_tpu.data.pipeline import load_raw_series, split_by_ratio

@@ -17,7 +17,7 @@ from gptst_tpu.models.build import build_predictor, predictor_forward
 from gptst_tpu.train import Trainer
 
 MODELS = ["STGCN", "TGCN", "GWN", "MTGNN", "ASTGCN", "STSGCN", "DMVSTNET",
-          "MSDR", "CCRNN", "STMGCN"]
+          "MSDR", "CCRNN", "STMGCN", "STGODE", "STFGNN", "ST_WA"]
 
 
 def _cfg(model, **kw):
