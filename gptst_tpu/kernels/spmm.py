@@ -1,0 +1,227 @@
+"""Block-sparse SpMM Pallas kernel — the framework's sparse hot op.
+
+All graph aggregation is `A @ X` over the node axis (SURVEY.md §7.1#2).
+At reference scale (N <= 266) dense matmuls win outright, so the dense
+einsum in `gptst_tpu.ops.graph_conv` stays the default. This kernel is
+the scaling path for large sensor graphs: the adjacency is tiled into
+(TB x TB) blocks, only nonzero blocks are kept (block-CSR), and each
+row-tile's output accumulates dense block matmuls on the MXU — the
+idiomatic TPU "sparse" formulation (gather/scatter SpMM starves the
+MXU; block-dense keeps it saturated at real-graph block densities).
+
+Kernel layout:
+  grid = (row_tiles, feature_tiles)
+  block_ptr / block_cols ride scalar prefetch (SMEM) so the inner
+  fori_loop can index x with `pl.ds(col * TB, TB)` dynamic slices;
+  block values and the x feature stripe live in VMEM.
+
+Backward: dX = A^T @ dY is the same kernel over the transposed block
+structure (precomputed once); the adjacency is a constant, so no
+cotangent is produced for it (supports here are precomputed graph
+artifacts — learned adjacencies are dense and take the einsum path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BlockCSR:
+    """Block-compressed sparse row adjacency (padded to tile grid)."""
+
+    block_ptr: jnp.ndarray    # (row_tiles + 1,) int32
+    block_cols: jnp.ndarray   # (nnzb,) int32
+    block_vals: jnp.ndarray   # (nnzb, TB, TB) float32
+    n: int                    # logical node count
+    n_pad: int                # padded node count
+    tile: int
+
+    def tree_flatten(self):
+        return ((self.block_ptr, self.block_cols, self.block_vals),
+                (self.n, self.n_pad, self.tile))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def row_tiles(self) -> int:
+        return self.n_pad // self.tile
+
+    @classmethod
+    def from_dense(cls, adj: np.ndarray, tile: int = 128) -> "BlockCSR":
+        n = adj.shape[0]
+        n_pad = _round_up(n, tile)
+        a = np.zeros((n_pad, n_pad), dtype=np.float32)
+        a[:n, :n] = adj
+        rt = n_pad // tile
+        blocks = a.reshape(rt, tile, rt, tile).transpose(0, 2, 1, 3)
+        nz = np.any(blocks != 0, axis=(2, 3))        # (rt, rt)
+        rows, cols = np.nonzero(nz)
+        vals = blocks[rows, cols]                     # (nnzb, tile, tile)
+        ptr = np.zeros(rt + 1, np.int64)
+        np.add.at(ptr, rows + 1, 1)
+        ptr = np.cumsum(ptr)
+        if rows.size == 0:  # keep shapes non-empty for the kernel
+            cols = np.zeros(1, np.int64)
+            vals = np.zeros((1, tile, tile), np.float32)
+            ptr = np.concatenate([np.zeros(rt, np.int64), np.ones(1, np.int64)])
+        return cls(
+            block_ptr=jnp.asarray(ptr, jnp.int32),
+            block_cols=jnp.asarray(cols, jnp.int32),
+            block_vals=jnp.asarray(vals, jnp.float32),
+            n=n, n_pad=n_pad, tile=tile)
+
+    def transpose(self) -> "BlockCSR":
+        """Block structure of A^T (for the backward pass)."""
+        rt = self.row_tiles
+        ptr = np.asarray(self.block_ptr)
+        cols = np.asarray(self.block_cols)
+        vals = np.asarray(self.block_vals)
+        entries = []  # (row=old col, col=old row, block^T)
+        for i in range(rt):
+            for b in range(ptr[i], ptr[i + 1]):
+                entries.append((int(cols[b]), i, vals[b].T))
+        entries.sort(key=lambda e: (e[0], e[1]))
+        t_ptr = [0]
+        t_cols, t_vals = [], []
+        k = 0
+        for i in range(rt):
+            while k < len(entries) and entries[k][0] == i:
+                t_cols.append(entries[k][1])
+                t_vals.append(entries[k][2])
+                k += 1
+            t_ptr.append(len(t_cols))
+        if not t_cols:
+            t_cols = [0]
+            t_vals = [np.zeros((self.tile, self.tile), np.float32)]
+            t_ptr = [0] * rt + [1]
+        return BlockCSR(
+            block_ptr=jnp.asarray(t_ptr, jnp.int32),
+            block_cols=jnp.asarray(t_cols, jnp.int32),
+            block_vals=jnp.asarray(np.stack(t_vals), jnp.float32),
+            n=self.n, n_pad=self.n_pad, tile=self.tile)
+
+
+def _spmm_kernel(ptr_ref, cols_ref, vals_hbm, x_ref, out_ref):
+    i = pl.program_id(0)
+    tb = out_ref.shape[0]
+    start = ptr_ref[i]
+    end = ptr_ref[i + 1]
+    num = end - start
+
+    def scoped(vbuf, sems):
+        # double-buffered HBM->VMEM DMA of adjacency blocks, overlapped
+        # with the MXU block matmuls
+        def get_dma(slot, b):
+            return pltpu.make_async_copy(
+                vals_hbm.at[b], vbuf.at[slot], sems.at[slot])
+
+        @pl.when(num > 0)
+        def _():
+            get_dma(0, start).start()
+
+        def body(k, acc):
+            b = start + k
+            slot = jax.lax.rem(k, 2)
+            next_slot = jax.lax.rem(k + 1, 2)
+
+            @pl.when(k + 1 < num)
+            def _():
+                get_dma(next_slot, b + 1).start()
+
+            get_dma(slot, b).wait()
+            col = cols_ref[b]
+            xa = x_ref[pl.ds(col * tb, tb), :]
+            return acc + jnp.dot(vbuf[slot], xa,
+                                 preferred_element_type=jnp.float32)
+
+        acc0 = jnp.zeros(out_ref.shape, jnp.float32)
+        out_ref[:] = jax.lax.fori_loop(0, num, body, acc0).astype(
+            out_ref.dtype)
+
+    pl.run_scoped(
+        scoped,
+        pltpu.VMEM((2, tb, tb), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _spmm_padded(bcsr: BlockCSR, x_pad: jnp.ndarray,
+                 feat_tile: int) -> jnp.ndarray:
+    """out_pad = A_pad @ x_pad; x_pad: (n_pad, f_pad)."""
+    n_pad, f_pad = x_pad.shape
+    tb = bcsr.tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bcsr.row_tiles, f_pad // feat_tile),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),             # block_vals
+            pl.BlockSpec((n_pad, feat_tile), lambda i, j, *_: (0, j),
+                         memory_space=pltpu.VMEM),          # x stripe
+        ],
+        out_specs=pl.BlockSpec((tb, feat_tile), lambda i, j, *_: (i, j),
+                               memory_space=pltpu.VMEM),
+    )
+    nnzb = bcsr.block_vals.shape[0]
+    flops = 2 * nnzb * tb * tb * feat_tile
+    return pl.pallas_call(
+        _spmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, f_pad), x_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(nnzb * tb * tb + 2 * n_pad * f_pad) * 4,
+            transcendentals=0),
+    )(bcsr.block_ptr, bcsr.block_cols, bcsr.block_vals, x_pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def spmm(bcsr: BlockCSR, bcsr_t: BlockCSR, x: jnp.ndarray) -> jnp.ndarray:
+    """A @ x over the node axis. x: (..., N, C); returns (..., N, C).
+
+    `bcsr_t` is `bcsr.transpose()` (precompute once per graph — it
+    defines the backward SpMM). Leading dims are flattened into the
+    feature axis so one kernel call covers the whole batch.
+    """
+    return _spmm_impl(bcsr, x)
+
+
+def _spmm_impl(bcsr: BlockCSR, x: jnp.ndarray) -> jnp.ndarray:
+    *lead, n, c = x.shape
+    assert n == bcsr.n, (n, bcsr.n)
+    flat = jnp.moveaxis(x.reshape(-1, n, c), 1, 0).reshape(n, -1)
+    f = flat.shape[1]
+    feat_tile = 128 if f % 128 == 0 else _round_up(min(f, 512), 128)
+    f_pad = _round_up(f, feat_tile)
+    x_pad = jnp.zeros((bcsr.n_pad, f_pad), x.dtype)
+    x_pad = x_pad.at[:n, :f].set(flat)
+    out = _spmm_padded(bcsr, x_pad, feat_tile)[:n, :f]
+    out = jnp.moveaxis(out.reshape(n, -1, c), 0, 1).reshape(*lead, n, c)
+    return out
+
+
+def _spmm_fwd(bcsr, bcsr_t, x):
+    return _spmm_impl(bcsr, x), (bcsr, bcsr_t)
+
+
+def _spmm_bwd(res, g):
+    bcsr, bcsr_t = res
+    zeros = jax.tree.map(jnp.zeros_like, (bcsr, bcsr_t))
+    return (*zeros, _spmm_impl(bcsr_t, g))
+
+
+spmm.defvjp(_spmm_fwd, _spmm_bwd)

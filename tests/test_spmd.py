@@ -64,15 +64,16 @@ def test_sharded_step_matches_single_device():
     from gptst_tpu.train.step import make_loss_terms, make_train_step
 
     loss_fn = build_loss(cfg.loss_func, 0.0, 1.0, cfg.mape_thresh, True)
+    sc = jnp.asarray(0, jnp.int32)
     local_step = jax.jit(make_train_step(
         make_loss_terms(forward, loss_fn, cfg), optimizer))
     p1, _, t1, f1 = local_step(
-        params, optimizer.init(params), x, x, rng, epoch)
+        params, optimizer.init(params), x, x, rng, epoch, sc)
 
     mesh = make_mesh(8)
     sp, so, step = make_spmd_train_state(cfg, mesh, forward, params, optimizer)
     xs, = shard_batch((x,), mesh)
-    p2, _, t2, f2 = step(sp, so, xs, xs, rng, epoch)
+    p2, _, t2, f2 = step(sp, so, xs, xs, rng, epoch, sc)
 
     np.testing.assert_allclose(float(t1), float(t2), rtol=1e-4)
     np.testing.assert_allclose(float(f1), float(f2), rtol=1e-4)
