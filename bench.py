@@ -26,7 +26,7 @@ def main() -> None:
     from gptst_tpu.config import default_config
     from gptst_tpu.models.build import build_model
     from gptst_tpu.train.loss import build_loss
-    from gptst_tpu.train.step import make_loss_terms, make_train_step
+    from gptst_tpu.train.step import make_loss_terms
 
     cfg = default_config("PEMS08", mode="pretrain", model="STGCN")
     cfg = cfg.replace(batch_size=64, change_epoch=1, log_dir=None)
@@ -38,32 +38,38 @@ def main() -> None:
         optax.adam(cfg.lr_init))
     opt_state = optimizer.init(params)
     loss_fn = build_loss(cfg.loss_func, 0.0, 1.0, cfg.mape_thresh, True)
-    step = jax.jit(make_train_step(
-        make_loss_terms(forward, loss_fn, cfg), optimizer))
+    # the Trainer's scan-fused dispatch path (cfg.scan_steps)
+    from gptst_tpu.train.step import make_scanned_train_step
 
-    x = jax.random.normal(
+    k = 8
+    multi = jax.jit(make_scanned_train_step(
+        make_loss_terms(forward, loss_fn, cfg), optimizer),
+        donate_argnums=(0, 1))
+
+    xs = jax.random.normal(
         jax.random.PRNGKey(1),
-        (cfg.batch_size, cfg.lag, cfg.num_nodes, cfg.input_base_dim + 2))
+        (k, cfg.batch_size, cfg.lag, cfg.num_nodes, cfg.input_base_dim + 2))
     epoch = jnp.asarray(5, jnp.int32)
-    rng = jax.random.PRNGKey(2)
+    sc = jnp.asarray(0, jnp.int32)
+    rngs = jax.random.split(jax.random.PRNGKey(2), k)
 
     # warmup / compile
     for _ in range(3):
-        rng, r = jax.random.split(rng)
-        params, opt_state, total, flow = step(
-            params, opt_state, x, x, r, epoch)
+        params, opt_state, sc, totals, flows = multi(
+            params, opt_state, xs, xs, rngs, epoch, sc)
     jax.block_until_ready(params)
 
     iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        rng, r = jax.random.split(rng)
-        params, opt_state, total, flow = step(
-            params, opt_state, x, x, r, epoch)
-    jax.block_until_ready(params)
-    dt = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt_state, sc, totals, flows = multi(
+                params, opt_state, xs, xs, rngs, epoch, sc)
+        jax.block_until_ready(params)
+        best = min(best, (time.perf_counter() - t0) / (iters * k))
 
-    steps_per_s = iters / dt
+    steps_per_s = 1.0 / best
     samples_per_s = steps_per_s * cfg.batch_size
 
     baseline = None

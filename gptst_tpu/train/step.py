@@ -56,3 +56,30 @@ def make_train_step(loss_terms: Callable,
         return params, opt_state, total, flow
 
     return step
+
+
+def make_scanned_train_step(loss_terms: Callable,
+                            optimizer: optax.GradientTransformation) -> Callable:
+    """K optimizer steps per dispatch via `lax.scan`.
+
+    Per-step dispatch latency dominates at reference batch sizes (the
+    compiled step is ~0.2 ms while a host round-trip costs ~1.7 ms);
+    scanning K batches in one call amortizes it ~10x. Returns
+    multi(params, opt_state, xs, ys, rngs, epoch, step_count)
+    -> (params, opt_state, step_count', totals, flows) with
+    xs/ys: (K, B, T, N, D), rngs: (K, 2) PRNG keys.
+    """
+    step = make_train_step(loss_terms, optimizer)
+
+    def multi(params, opt_state, xs, ys, rngs, epoch, step_count):
+        def body(carry, inp):
+            p, o, s = carry
+            x, y, r = inp
+            p, o, total, flow = step(p, o, x, y, r, epoch, s)
+            return (p, o, s + 1), (total, flow)
+
+        (params, opt_state, step_count), (totals, flows) = jax.lax.scan(
+            body, (params, opt_state, step_count), (xs, ys, rngs))
+        return params, opt_state, step_count, totals, flows
+
+    return multi

@@ -38,7 +38,9 @@ from gptst_tpu.data.pipeline import STDataset
 from gptst_tpu.eval.metrics import all_metrics
 from gptst_tpu.models.api import ForwardFn
 from gptst_tpu.train.loss import build_loss
-from gptst_tpu.train.step import make_loss_terms, make_train_step
+from gptst_tpu.train.step import (
+    make_loss_terms, make_scanned_train_step, make_train_step,
+)
 from gptst_tpu.utils.logger import get_logger
 
 
@@ -88,6 +90,11 @@ class Trainer:
         self._loss_terms = make_loss_terms(self.forward, self.loss_fn, self.cfg)
         self._train_step = jax.jit(
             make_train_step(self._loss_terms, self.optimizer))
+        self._multi_step = None
+        if self.cfg.scan_steps > 1:
+            self._multi_step = jax.jit(
+                make_scanned_train_step(self._loss_terms, self.optimizer),
+                donate_argnums=(0, 1))
         self._eval_loss = jax.jit(self._eval_loss_impl)
         self._predict = jax.jit(self._predict_impl, static_argnames=("final",))
         self.batch_seen = 0
@@ -103,26 +110,62 @@ class Trainer:
         return out.pred, out.mask
 
     # --- epoch loops ----------------------------------------------------
-    def train_epoch(self, epoch: int, rng: jax.Array) -> float:
-        total_flow = 0.0
-        total = 0.0
-        nb = 0
-        for xb, yb in self.dataset.batches(
-                "train", self.cfg.batch_size, shuffle=True,
-                seed=self.seed * 10_000 + epoch):
+    def _run_chunk(self, chunk, epoch, rng):
+        """Dispatch a list of (x, y) batches; scan-fuse when possible."""
+        ep = jnp.asarray(epoch, dtype=jnp.int32)
+        losses = []
+        k = len(chunk)
+        if self._multi_step is not None and k > 1 and all(
+                c[0].shape == chunk[0][0].shape for c in chunk):
+            xs = jnp.stack([jnp.asarray(c[0]) for c in chunk])
+            ys = jnp.stack([jnp.asarray(c[1]) for c in chunk])
+            rngs = jax.random.split(rng, k)
+            sc = jnp.asarray(self.batch_seen, dtype=jnp.int32)
+            (self.params, self.opt_state, _, totals, flows) = self._multi_step(
+                self.params, self.opt_state, xs, ys, rngs, ep, sc)
+            self.batch_seen += k
+            return list(zip(np.asarray(totals).tolist(),
+                            np.asarray(flows).tolist()))
+        for (xb, yb) in chunk:
             self.batch_seen += 1
             rng, step_rng = jax.random.split(rng)
             self.params, self.opt_state, loss, flow = self._train_step(
                 self.params, self.opt_state, jnp.asarray(xb), jnp.asarray(yb),
-                step_rng, jnp.asarray(epoch, dtype=jnp.int32),
-                jnp.asarray(self.batch_seen, dtype=jnp.int32))
-            total += float(loss)
-            total_flow += float(flow)
-            nb += 1
-            if (nb - 1) % self.cfg.log_step == 0:
-                self.logger.info(
-                    "Train Epoch %d: %d/%d Loss: %.6f",
-                    epoch, nb - 1, self.steps_per_epoch, float(loss))
+                step_rng, ep, jnp.asarray(self.batch_seen, dtype=jnp.int32))
+            losses.append((float(loss), float(flow)))
+        return losses
+
+    def train_epoch(self, epoch: int, rng: jax.Array) -> float:
+        total_flow = 0.0
+        total = 0.0
+        nb = 0
+        k = max(1, self.cfg.scan_steps)
+        chunk = []
+        it = self.dataset.batches(
+            "train", self.cfg.batch_size, shuffle=True,
+            seed=self.seed * 10_000 + epoch)
+
+        def flush(chunk, rng):
+            nonlocal total, total_flow, nb
+            if not chunk:
+                return
+            for loss, flow in self._run_chunk(chunk, epoch, rng):
+                total += loss
+                total_flow += flow
+                nb += 1
+                if (nb - 1) % self.cfg.log_step == 0:
+                    self.logger.info(
+                        "Train Epoch %d: %d/%d Loss: %.6f",
+                        epoch, nb - 1, self.steps_per_epoch, loss)
+
+        for xb, yb in it:
+            chunk.append((xb, yb))
+            if len(chunk) == k:
+                rng, r = jax.random.split(rng)
+                flush(chunk, r)
+                chunk = []
+        rng, r = jax.random.split(rng)
+        flush(chunk, r)
         if self.pretrain:
             # best-epoch selection uses the flow loss (`BasicTrainer.py:120-121`)
             return total_flow / max(nb, 1)
