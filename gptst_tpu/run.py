@@ -27,8 +27,6 @@ import os
 import sys
 from typing import Any, Optional
 
-import numpy as np
-
 
 def parse_args(argv: Optional[list[str]] = None):
     from gptst_tpu.config.config import FrameworkConfig
@@ -44,6 +42,8 @@ def parse_args(argv: Optional[list[str]] = None):
                    help="truncate dataset length (synthetic fallback)")
     p.add_argument("-data_root", type=str, default=None)
     p.add_argument("-device_seed", type=int, default=None)
+    p.add_argument("-profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace here during training")
     # every FrameworkConfig field becomes an override flag
     for f in dataclasses.fields(FrameworkConfig):
         if f.name in ("dataset", "mode", "model"):
@@ -106,11 +106,15 @@ def main(argv: Optional[list[str]] = None) -> int:
     from gptst_tpu.train import Trainer
     from gptst_tpu.utils.logger import get_logger
 
+    from gptst_tpu.utils.observability import (
+        count_parameters, init_determinism, profile_trace,
+    )
+
     logger = get_logger("run", debug=cfg.debug)
     logger.info("dataset=%s mode=%s model=%s devices=%s",
                 cfg.dataset, cfg.mode, cfg.model, jax.devices())
 
-    np.random.seed(cfg.seed)
+    init_determinism(cfg.seed, cfg.seed_mode)
     ds = build_dataset(cfg, data_root=ns.data_root, num_steps=ns.num_steps,
                        seed=cfg.seed)
 
@@ -121,6 +125,7 @@ def main(argv: Optional[list[str]] = None) -> int:
     init_fn, forward = build_model(
         cfg, scaler_zeros=ds.scaler_zeros, pretrain_params=pretrain_params)
     params = init_fn(jax.random.PRNGKey(cfg.seed))
+    count_parameters(params, logger)
 
     log_dir = os.path.join(cfg.log_dir, cfg.dataset)
     os.makedirs(log_dir, exist_ok=True)
@@ -132,7 +137,8 @@ def main(argv: Optional[list[str]] = None) -> int:
         tr.test()
         return 0
 
-    result = tr.train()
+    with profile_trace(ns.profile_dir):
+        result = tr.train()
     if cfg.mode == "pretrain":
         tr.save_checkpoint(_pretrain_ckpt_path(cfg, save=True))
     logger.info("best loss: %.6f  avg MAE: %.4f", result["best_loss"],

@@ -42,6 +42,7 @@ from gptst_tpu.train.step import (
     make_loss_terms, make_scanned_train_step, make_train_step,
 )
 from gptst_tpu.utils.logger import get_logger
+from gptst_tpu.utils.observability import StepTimer
 
 
 def make_lr_schedule(cfg: FrameworkConfig, steps_per_epoch: int):
@@ -191,9 +192,16 @@ class Trainer:
         start = time.time()
         val_split = "val" if self.dataset.x_val.shape[0] > 0 else "test"
 
+        timer = StepTimer(warmup=1)
         for epoch in range(1, self.cfg.epochs + 1):
             rng, ep_rng = jax.random.split(rng)
             train_loss = self.train_epoch(epoch, ep_rng)
+            jax.block_until_ready(jax.tree_util.tree_leaves(self.params)[0])
+            dt = timer.tick(self.steps_per_epoch * self.cfg.batch_size)
+            if epoch % 10 == 0 or epoch == 1:
+                self.logger.info(
+                    "Epoch %d wall %.2fs (%.0f samples/s)",
+                    epoch, dt, timer.samples_per_s)
             if epoch in set(self.cfg.up_epoch):
                 best_loss = float("inf")  # watermark reset (`:138-139`)
             if self.pretrain:
