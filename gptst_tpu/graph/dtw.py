@@ -84,6 +84,16 @@ def dtw_distance_matrix(series_by_day: np.ndarray, radius: int,
         x = (x - mu) / sd
     iu, ju = np.triu_indices(n, k=1)
     dist = np.zeros((n, n))
+
+    # native C++ path (OpenMP over pairs); numpy fallback below
+    from gptst_tpu.native import native_banded_dtw_pairs
+
+    costs = native_banded_dtw_pairs(
+        x.astype(np.float32), iu.astype(np.int32), ju.astype(np.int32),
+        radius, order)
+    if costs is not None:
+        dist[iu, ju] = costs
+        return dist + dist.T
     # chunk pairs to bound the (P, T, T) cost tensor's memory
     chunk = max(1, int(2e8 // (t0 * t0 * 8)))
     for s in range(0, iu.size, chunk):
