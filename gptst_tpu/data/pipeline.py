@@ -163,7 +163,8 @@ def build_dataset(cfg: FrameworkConfig, data_root: str | None = None,
     x_val, y_val = add_window_horizon(val, cfg.lag, cfg.horizon)
     x_test, y_test = add_window_horizon(test, cfg.lag, cfg.horizon)
 
-    s_data, s_day, s_week = fit_channel_scalers(train, cfg.input_base_dim)
+    s_data, s_day, s_week = fit_channel_scalers(
+        train, cfg.input_base_dim, cfg.normalizer)
 
     b = cfg.input_base_dim
     return STDataset(

@@ -65,19 +65,34 @@ def fit_standard_scaler(x: np.ndarray) -> StandardScaler:
     return StandardScaler(mean=float(x.mean()), std=std if std > 0 else 1.0)
 
 
+def fit_scaler(x: np.ndarray, normalizer: str = "std"):
+    """One scaler by name (`lib/dataloader.py:8-69`): std | max01 |
+    max11 | None."""
+    if normalizer == "std":
+        return fit_standard_scaler(x)
+    if normalizer == "max01":
+        return MinMax01Scaler(minimum=float(x.min()), maximum=float(x.max()))
+    if normalizer == "max11":
+        return MinMax11Scaler(minimum=float(x.min()), maximum=float(x.max()))
+    if normalizer in ("None", "none", None):
+        return NScaler()
+    raise ValueError(f"unknown normalizer {normalizer!r}")
+
+
 def fit_channel_scalers(
-    train_data: np.ndarray, input_base_dim: int
-) -> tuple[StandardScaler, StandardScaler, StandardScaler]:
-    """Fit separate std-scalers for (base, day, week) channel groups.
+    train_data: np.ndarray, input_base_dim: int, normalizer: str = "std"
+) -> tuple:
+    """Fit separate scalers for (base, day, week) channel groups.
 
     Matches `lib/dataloader.py:36-54`: the base channels share one
-    scalar mean/std; day and week channels each get their own.
+    scalar stat; day and week channels each get their own (always
+    std-scaled, as the reference does regardless of `normalizer`).
     """
     base = train_data[..., :input_base_dim]
     day = train_data[..., input_base_dim:input_base_dim + 1]
     week = train_data[..., input_base_dim + 1:input_base_dim + 2]
     return (
-        fit_standard_scaler(base),
+        fit_scaler(base, normalizer),
         fit_standard_scaler(day),
         fit_standard_scaler(week),
     )

@@ -46,6 +46,36 @@ def masked_mape(pred, true, thresh: float | None = None):
     return _masked_mean(jnp.abs((true - pred) / safe_true), m)
 
 
+def masked_pnbi(pred, true, thresh: float | None = None):
+    """Positive-negative bias indicator (`lib/metrics.py:88-94`)."""
+    m = _mask(true, thresh)
+    return _masked_mean((pred - true > 0).astype(jnp.float32), m)
+
+
+def masked_opnbi(pred, true, thresh: float | None = None):
+    """Overall PNBI: mean of (true + pred) / (2 true)
+    (`lib/metrics.py:96-102`)."""
+    m = _mask(true, thresh)
+    safe_true = jnp.where(m > 0, true, 1.0)
+    return _masked_mean((true + pred) / (2.0 * safe_true), m)
+
+
+def masked_mare(pred, true, thresh: float | None = None):
+    """Mean absolute relative error: sum|err| / sum(true)
+    (`lib/metrics.py:104-109`)."""
+    m = _mask(true, thresh)
+    return (jnp.abs(true - pred) * m).sum() / jnp.maximum(
+        (true * m).sum(), 1e-12)
+
+
+def masked_smape(pred, true, thresh: float | None = None):
+    """Symmetric MAPE (`lib/metrics.py:111-117`)."""
+    m = _mask(true, thresh)
+    denom = jnp.abs(true) + jnp.abs(pred)
+    safe = jnp.where(denom > 0, denom, 1.0)
+    return _masked_mean(jnp.abs(true - pred) / safe, m)
+
+
 def masked_rrse(pred, true, thresh: float | None = None):
     """Root relative squared error (`lib/metrics.py:47-52`).
 

@@ -281,6 +281,7 @@ class Trainer:
 
     # --- checkpointing ----------------------------------------------------
     def save_checkpoint(self, path: str) -> None:
+        """Best-params checkpoint (the reference's best_model.pth)."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
@@ -293,3 +294,33 @@ class Trainer:
 
         ckpt = ocp.PyTreeCheckpointer()
         self.params = ckpt.restore(os.path.abspath(path), item=self.params)
+
+    def save_full_checkpoint(self, path: str, epoch: int) -> None:
+        """Resumable training state: params + optimizer + progress
+        (the reference defines but never calls an equivalent,
+        `BasicTrainer.py:200-207`; SURVEY.md §5 build plan)."""
+        import orbax.checkpoint as ocp
+
+        state = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "progress": {"epoch": epoch, "batch_seen": self.batch_seen},
+        }
+        ocp.PyTreeCheckpointer().save(os.path.abspath(path), state,
+                                      force=True)
+
+    def restore_full_checkpoint(self, path: str) -> int:
+        """Restore params/optimizer/progress; returns the next epoch."""
+        import orbax.checkpoint as ocp
+
+        template = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "progress": {"epoch": 0, "batch_seen": 0},
+        }
+        state = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(path), item=template)
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.batch_seen = int(state["progress"]["batch_seen"])
+        return int(state["progress"]["epoch"]) + 1

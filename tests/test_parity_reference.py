@@ -73,6 +73,27 @@ def test_masked_metrics_parity(thresh):
         float(ref.huber_loss(tp, tt, thresh)[0]), rtol=RTOL)
 
 
+@pytest.mark.parametrize("thresh", [None, 3.0])
+def test_auxiliary_metrics_parity(thresh):
+    from lib import metrics as ref
+
+    from gptst_tpu.eval.metrics import (
+        masked_mare, masked_opnbi, masked_pnbi, masked_smape,
+    )
+
+    pred = _rand((8, 12, 10, 1), 10)
+    true = _rand((8, 12, 10, 1), 11)
+    tp, tt = torch.tensor(pred), torch.tensor(true)
+    pairs = [
+        (masked_pnbi, ref.PNBI_torch), (masked_opnbi, ref.oPNBI_torch),
+        (masked_mare, ref.MARE_torch), (masked_smape, ref.SMAPE_torch),
+    ]
+    for ours, theirs in pairs:
+        np.testing.assert_allclose(
+            float(ours(jnp.asarray(pred), jnp.asarray(true), thresh)),
+            float(theirs(tp, tt, thresh)), rtol=1e-5)
+
+
 def test_corr_parity():
     from lib import metrics as ref
 
