@@ -86,6 +86,9 @@ class FrameworkConfig:
     # optimizer steps fused into one dispatch via lax.scan (1 = off);
     # amortizes host->device dispatch latency (~10x at reference scale)
     scan_steps: int = 1
+    # root of reference-format conf/<MODEL>/<DATASET>.conf predictor
+    # configs; empty = use the built-in dataclass defaults
+    predictor_conf_root: str = ""
 
     def replace(self, **kw) -> "FrameworkConfig":
         return dataclasses.replace(self, **kw)

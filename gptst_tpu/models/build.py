@@ -34,6 +34,23 @@ def load_base_adjacency(cfg: FrameworkConfig, seed: int = 0) -> np.ndarray:
     return random_sensor_graph(cfg.num_nodes, avg_degree=6, seed=seed)
 
 
+def make_predictor_config(cls, cfg: FrameworkConfig, **kw):
+    """Predictor config: built-in defaults (mirroring conf/<MODEL>/*)
+    optionally overridden by reference-format INI files when
+    cfg.predictor_conf_root is set (`lib/Params_predictor.py`)."""
+    import dataclasses as _dc
+
+    c = cls(**kw)
+    if cfg.predictor_conf_root:
+        from gptst_tpu.config.predictor_ini import load_predictor_overrides
+
+        ov = load_predictor_overrides(
+            cfg.model, cfg.dataset, cfg.predictor_conf_root, cls)
+        if ov:
+            c = _dc.replace(c, **ov)
+    return c
+
+
 ModelBuilder = Callable[..., tuple[Callable, Callable]]
 _REGISTRY: dict[str, ModelBuilder] = {}
 
@@ -155,7 +172,7 @@ def build_model(cfg: FrameworkConfig, scaler_zeros: float = 0.0,
 def _build_stgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     from gptst_tpu.models.predictors.stgcn import STGCN, STGCNConfig
 
-    pcfg = STGCNConfig(num_nodes=cfg.num_nodes)
+    pcfg = make_predictor_config(STGCNConfig, cfg, num_nodes=cfg.num_nodes)
     cheb = jnp.asarray(cheb_poly_stack(scaled_laplacian(adj), pcfg.ks))
     model = STGCN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim)
 
@@ -177,7 +194,7 @@ def _build_tgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     from gptst_tpu.graph.artifacts import sym_adj
     from gptst_tpu.models.predictors.tgcn import TGCN, TGCNConfig
 
-    pcfg = TGCNConfig(num_nodes=cfg.num_nodes)
+    pcfg = make_predictor_config(TGCNConfig, cfg, num_nodes=cfg.num_nodes)
     support = jnp.asarray(sym_adj(adj))
     model = TGCN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
                  horizon=cfg.horizon)
@@ -201,7 +218,7 @@ def _build_stgode(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
         STGODE, STGODEConfig, stgode_normalized_adj,
     )
 
-    pcfg = STGODEConfig(num_nodes=cfg.num_nodes)
+    pcfg = make_predictor_config(STGODEConfig, cfg, num_nodes=cfg.num_nodes)
     spec = get_dataset_spec(cfg.dataset)
     spd = (24 * 60) // spec.interval
     raw = load_raw_series(cfg.dataset)[:, : cfg.num_nodes, 0]
@@ -234,7 +251,7 @@ def _build_stfgnn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
         STFGNN, STFGNNConfig, construct_adj_fusion,
     )
 
-    pcfg = STFGNNConfig(num_nodes=cfg.num_nodes)
+    pcfg = make_predictor_config(STFGNNConfig, cfg, num_nodes=cfg.num_nodes)
     spec = get_dataset_spec(cfg.dataset)
     spd = (24 * 60) // spec.interval
     raw = load_raw_series(cfg.dataset)[:, : cfg.num_nodes, 0]
@@ -262,7 +279,7 @@ def _build_stfgnn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
 def _build_stwa(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     from gptst_tpu.models.predictors.stwa import STWA, STWAConfig
 
-    pcfg = STWAConfig(num_nodes=cfg.num_nodes)
+    pcfg = make_predictor_config(STWAConfig, cfg, num_nodes=cfg.num_nodes)
     model = STWA(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
                  horizon=cfg.horizon, lag=cfg.lag)
 
@@ -284,8 +301,9 @@ def _build_ccrnn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
         CCRNN, CCRNNConfig, svd_graph_embeddings,
     )
 
-    pcfg = CCRNNConfig(num_nodes=cfg.num_nodes,
-                       n_dim=min(50, cfg.num_nodes))
+    pcfg = make_predictor_config(CCRNNConfig, cfg,
+                                 num_nodes=cfg.num_nodes,
+                                 n_dim=min(50, cfg.num_nodes))
     # data-driven support from the training period (`args.py:57-76`)
     raw = load_raw_series(cfg.dataset)[:, : cfg.num_nodes]
     train, _, _ = split_by_ratio(raw, cfg.val_ratio, cfg.test_ratio)
@@ -310,7 +328,7 @@ def _build_stmgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     from gptst_tpu.graph.artifacts import cheb_poly_stack_rescaled, pearson_graph
     from gptst_tpu.models.predictors.stmgcn import STMGCN, STMGCNConfig
 
-    pcfg = STMGCNConfig(num_nodes=cfg.num_nodes)
+    pcfg = make_predictor_config(STMGCNConfig, cfg, num_nodes=cfg.num_nodes)
     raw = load_raw_series(cfg.dataset)[:, : cfg.num_nodes]
     train, _, _ = split_by_ratio(raw, cfg.val_ratio, cfg.test_ratio)
     stacks = jnp.asarray(np.stack([
@@ -335,7 +353,7 @@ def _build_msdr(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
         MSDR, MSDRConfig, dual_random_walk_supports,
     )
 
-    pcfg = MSDRConfig(num_nodes=cfg.num_nodes)
+    pcfg = make_predictor_config(MSDRConfig, cfg, num_nodes=cfg.num_nodes)
     supports = jnp.asarray(np.stack(dual_random_walk_supports(adj)))
     model = MSDR(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
                  horizon=cfg.horizon)
@@ -356,7 +374,7 @@ def _build_stsgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
         STSGCN, STSGCNConfig, construct_sync_adj,
     )
 
-    pcfg = STSGCNConfig(num_nodes=cfg.num_nodes)
+    pcfg = make_predictor_config(STSGCNConfig, cfg, num_nodes=cfg.num_nodes)
     sync_adj = jnp.asarray(construct_sync_adj(adj, pcfg.steps))
     model = STSGCN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
                    horizon=cfg.horizon, lag=cfg.lag)
@@ -375,7 +393,7 @@ def _build_stsgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
 def _build_dmvstnet(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     from gptst_tpu.models.predictors.dmvstnet import DMVSTNet, DMVSTNetConfig
 
-    pcfg = DMVSTNetConfig(num_nodes=cfg.num_nodes)
+    pcfg = make_predictor_config(DMVSTNetConfig, cfg, num_nodes=cfg.num_nodes)
     adj_j = jnp.asarray(adj)
     model = DMVSTNet(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim)
 
@@ -393,7 +411,7 @@ def _build_dmvstnet(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
 def _build_astgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     from gptst_tpu.models.predictors.astgcn import ASTGCN, ASTGCNConfig
 
-    pcfg = ASTGCNConfig(num_nodes=cfg.num_nodes)
+    pcfg = make_predictor_config(ASTGCNConfig, cfg, num_nodes=cfg.num_nodes)
     cheb = jnp.asarray(cheb_poly_stack(scaled_laplacian(adj), pcfg.K))
     model = ASTGCN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
                    horizon=cfg.horizon, lag=cfg.lag)
@@ -412,7 +430,7 @@ def _build_astgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
 def _build_mtgnn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     from gptst_tpu.models.predictors.mtgnn import MTGNN, MTGNNConfig
 
-    pcfg = MTGNNConfig(num_nodes=cfg.num_nodes)
+    pcfg = make_predictor_config(MTGNNConfig, cfg, num_nodes=cfg.num_nodes)
     model = MTGNN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
                   horizon=cfg.horizon, lag=cfg.lag)
     pre_adj = jnp.asarray(adj - np.eye(cfg.num_nodes, dtype=adj.dtype))
@@ -434,7 +452,7 @@ def _build_mtgnn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
 def _build_gwn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     from gptst_tpu.models.predictors.gwn import GWN, GWNConfig
 
-    pcfg = GWNConfig(num_nodes=cfg.num_nodes)
+    pcfg = make_predictor_config(GWNConfig, cfg, num_nodes=cfg.num_nodes)
     # conf/GWN/*: aptonly=True -> no static supports, adaptive adj only
     supports = ()
     model = GWN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
