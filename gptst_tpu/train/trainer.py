@@ -79,6 +79,11 @@ class Trainer:
 
     def __post_init__(self):
         self.logger = get_logger("trainer", debug=self.cfg.debug)
+        # precision policy: 'bfloat16' runs MXU contractions in one
+        # bf16 pass (fastest); 'float32' uses the backend default
+        # (bf16x3 passes on TPU). Params/loss/metrics stay f32.
+        if self.cfg.compute_dtype == "bfloat16":
+            jax.config.update("jax_default_matmul_precision", "bfloat16")
         self.pretrain = self.cfg.mode == "pretrain"
         self.steps_per_epoch = self.dataset.num_batches(
             "train", self.cfg.batch_size)
