@@ -88,13 +88,16 @@ class GWN(nn.Module):
         pad = max(1, rf - x.shape[1])
         x = jnp.pad(x, ((0, 0), (pad, 0), (0, 0), (0, 0)))
 
-        sup = list(supports)
+        # GWN's NConv contracts einsum('ncvl,vw->ncwl') — aggregation by
+        # A^T (`GWN.py:60-66`); transpose once so graph_matmul (A @ x)
+        # reproduces it exactly
+        sup = [s.T for s in supports]
         if c.gcn_bool and c.addaptadj:
             e1 = self.param("nodevec1", nn.initializers.normal(1.0),
                             (c.num_nodes, c.adapt_rank))
             e2 = self.param("nodevec2", nn.initializers.normal(1.0),
                             (c.adapt_rank, c.num_nodes))
-            sup = sup + [adaptive_adj(e1, e2)]
+            sup = sup + [adaptive_adj(e1, e2).T]
 
         x = nn.Dense(c.residual_channels, name="start_conv")(x)
         skip = None

@@ -1,0 +1,89 @@
+"""GWN end-to-end forward parity vs the reference with transplanted
+weights (dropout disabled; both sides use batch statistics in their
+normalization so the comparison is exact)."""
+
+import argparse
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+sys.path.insert(0, "/root/reference")
+sys.path.insert(0, "/root/reference/model")
+
+import jax
+import jax.numpy as jnp
+
+
+def test_gwn_forward_parity():
+    from GWN.GWN import GWNET
+
+    from gptst_tpu.models.predictors.gwn import GWN, GWNConfig
+
+    n = 16
+    ns = argparse.Namespace(
+        adj_mx=None, num_nodes=n, dropout=0.0, blocks=4, layers=2,
+        gcn_bool=True, addaptadj=True, adjtype="doubletransition",
+        randomadj=True, aptonly=True, kernel_size=2, nhid=32,
+        residual_channels=32, dilation_channels=32,
+        input_window=12, output_window=12)
+    ref = GWNET(ns, torch.device("cpu"), dim_in=1, dim_out=1)
+    ref.train()  # batch-stats normalization, dropout=0 so deterministic
+
+    # the reference declares gate/skip/residual convs as Conv1d with 2D
+    # kernels — accepted by torch 1.9, rejected by modern torch; swap in
+    # weight-identical Conv2d modules
+    def conv1d_to_2d(c, dilation):
+        k = tuple(c.weight.shape[2:])
+        m = torch.nn.Conv2d(c.weight.shape[1], c.weight.shape[0], k,
+                            dilation=dilation)
+        m.weight.data = c.weight.data.clone()
+        m.bias.data = c.bias.data.clone()
+        return m
+
+    for i in range(8):
+        d = 2 ** (i % 2)
+        ref.gate_convs[i] = conv1d_to_2d(ref.gate_convs[i], d)
+        ref.skip_convs[i] = conv1d_to_2d(ref.skip_convs[i], 1)
+        ref.residual_convs[i] = conv1d_to_2d(ref.residual_convs[i], 1)
+
+    pcfg = GWNConfig(num_nodes=n, dropout=0.0)
+    model = GWN(cfg=pcfg, dim_in=1, dim_out=1, horizon=12)
+    x = np.random.default_rng(0).normal(size=(4, 12, n, 1)) \
+        .astype(np.float32)
+    params = jax.tree.map(
+        np.asarray,
+        model.init(jax.random.PRNGKey(0), jnp.asarray(x), ()))["params"]
+
+    def lin(conv):  # torch Conv2d 1x1 -> Dense
+        return {"kernel": conv.weight.detach().numpy()[:, :, 0, 0].T,
+                "bias": conv.bias.detach().numpy()}
+
+    def tconv(conv):  # torch Conv2d (1, k) on (B,C,N,T) -> our (k,1,in,out)
+        w = conv.weight.detach().numpy()          # (out, in, 1, k)
+        return {"Conv_0": {
+            "kernel": w.transpose(3, 2, 1, 0),
+            "bias": conv.bias.detach().numpy()}}
+
+    params["nodevec1"] = ref.nodevec1.detach().numpy()
+    params["nodevec2"] = ref.nodevec2.detach().numpy()
+    params["start_conv"] = lin(ref.start_conv)
+    for i in range(8):
+        b, l = divmod(i, 2)
+        params[f"DilatedCausal_{2 * i}"] = tconv(ref.filter_convs[i])
+        params[f"DilatedCausal_{2 * i + 1}"] = tconv(ref.gate_convs[i])
+        params[f"Dense_{i}"] = lin(ref.skip_convs[i])
+        g = lin(ref.gconv[i].mlp.mlp)
+        params[f"gconv_w_{b}_{l}"] = g["kernel"]
+        params[f"gconv_b_{b}_{l}"] = g["bias"]
+        params[f"BatchStatsNorm_{i}"] = {
+            "scale": ref.bn[i].weight.detach().numpy(),
+            "bias": ref.bn[i].bias.detach().numpy()}
+    params["end_conv_1"] = lin(ref.end_conv_1)
+    params["end_conv_2"] = lin(ref.end_conv_2)
+
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x), ()))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
