@@ -216,7 +216,10 @@ class Trainer:
             if cur < best_loss:
                 best_loss = cur
                 not_improved = 0
-                best_params = jax.tree.map(lambda a: a, self.params)
+                # materialize a real copy: the scan-fused step donates
+                # its input buffers, so an aliasing snapshot would be
+                # deleted by the next dispatch
+                best_params = jax.tree.map(lambda a: a.copy(), self.params)
                 self.logger.info("*********Current best model saved!")
             else:
                 not_improved += 1
