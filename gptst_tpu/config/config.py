@@ -89,6 +89,10 @@ class FrameworkConfig:
     # root of reference-format conf/<MODEL>/<DATASET>.conf predictor
     # configs; empty = use the built-in dataclass defaults
     predictor_conf_root: str = ""
+    # keep the train split device-resident and gather batches on-device
+    # inside the scanned step (needs scan_steps > 1); the reference
+    # keeps splits wholly on the GPU (`lib/dataloader.py:92-99`)
+    device_data: bool = True
 
     def replace(self, **kw) -> "FrameworkConfig":
         return dataclasses.replace(self, **kw)

@@ -83,3 +83,34 @@ def make_scanned_train_step(loss_terms: Callable,
         return params, opt_state, step_count, totals, flows
 
     return multi
+
+
+def make_indexed_train_step(loss_terms: Callable,
+                            optimizer: optax.GradientTransformation) -> Callable:
+    """K steps per dispatch gathering batches from a device-resident
+    dataset — zero per-step host->device traffic.
+
+    The reference keeps each split wholly on the GPU
+    (`lib/dataloader.py:92-99`); this is the TPU equivalent: the train
+    arrays live in HBM once, and each scanned step selects its batch
+    with an on-device gather. Returns
+    multi(params, opt_state, x_all, y_all, idx, rngs, epoch, step_count)
+    with idx: (K, B) int32 window indices.
+    """
+    step = make_train_step(loss_terms, optimizer)
+
+    def multi(params, opt_state, x_all, y_all, idx, rngs, epoch,
+              step_count):
+        def body(carry, inp):
+            p, o, s = carry
+            sel, r = inp
+            x = jnp.take(x_all, sel, axis=0)
+            y = jnp.take(y_all, sel, axis=0)
+            p, o, total, flow = step(p, o, x, y, r, epoch, s)
+            return (p, o, s + 1), (total, flow)
+
+        (params, opt_state, step_count), (totals, flows) = jax.lax.scan(
+            body, (params, opt_state, step_count), (idx, rngs))
+        return params, opt_state, step_count, totals, flows
+
+    return multi

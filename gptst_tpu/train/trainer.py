@@ -39,7 +39,8 @@ from gptst_tpu.eval.metrics import all_metrics
 from gptst_tpu.models.api import ForwardFn
 from gptst_tpu.train.loss import build_loss
 from gptst_tpu.train.step import (
-    make_loss_terms, make_scanned_train_step, make_train_step,
+    make_indexed_train_step, make_loss_terms, make_scanned_train_step,
+    make_train_step,
 )
 from gptst_tpu.utils.logger import get_logger
 from gptst_tpu.utils.observability import StepTimer
@@ -97,10 +98,22 @@ class Trainer:
         self._train_step = jax.jit(
             make_train_step(self._loss_terms, self.optimizer))
         self._multi_step = None
+        self._indexed_step = None
+        self._x_dev = self._y_dev = None
         if self.cfg.scan_steps > 1:
             self._multi_step = jax.jit(
                 make_scanned_train_step(self._loss_terms, self.optimizer),
                 donate_argnums=(0, 1))
+            if self.cfg.device_data:
+                try:
+                    self._x_dev = jnp.asarray(self.dataset.x_train)
+                    self._y_dev = jnp.asarray(self.dataset.y_train)
+                    self._indexed_step = jax.jit(
+                        make_indexed_train_step(
+                            self._loss_terms, self.optimizer),
+                        donate_argnums=(0, 1))
+                except Exception:  # dataset larger than HBM: host path
+                    self._x_dev = self._y_dev = None
         self._eval_loss = jax.jit(self._eval_loss_impl)
         self._predict = jax.jit(self._predict_impl, static_argnames=("final",))
         self.batch_seen = 0
@@ -141,21 +154,28 @@ class Trainer:
             losses.append((float(loss), float(flow)))
         return losses
 
+    def _run_indexed(self, idx_chunk: np.ndarray, epoch: int, rng):
+        """Device-resident path: (K, B) window indices per dispatch."""
+        k = idx_chunk.shape[0]
+        rngs = jax.random.split(rng, k)
+        sc = jnp.asarray(self.batch_seen, dtype=jnp.int32)
+        (self.params, self.opt_state, _, totals, flows) = self._indexed_step(
+            self.params, self.opt_state, self._x_dev, self._y_dev,
+            jnp.asarray(idx_chunk, dtype=jnp.int32), rngs,
+            jnp.asarray(epoch, dtype=jnp.int32), sc)
+        self.batch_seen += k
+        return list(zip(np.asarray(totals).tolist(),
+                        np.asarray(flows).tolist()))
+
     def train_epoch(self, epoch: int, rng: jax.Array) -> float:
         total_flow = 0.0
         total = 0.0
         nb = 0
         k = max(1, self.cfg.scan_steps)
-        chunk = []
-        it = self.dataset.batches(
-            "train", self.cfg.batch_size, shuffle=True,
-            seed=self.seed * 10_000 + epoch)
 
-        def flush(chunk, rng):
+        def account(losses):
             nonlocal total, total_flow, nb
-            if not chunk:
-                return
-            for loss, flow in self._run_chunk(chunk, epoch, rng):
+            for loss, flow in losses:
                 total += loss
                 total_flow += flow
                 nb += 1
@@ -164,14 +184,40 @@ class Trainer:
                         "Train Epoch %d: %d/%d Loss: %.6f",
                         epoch, nb - 1, self.steps_per_epoch, loss)
 
-        for xb, yb in it:
-            chunk.append((xb, yb))
-            if len(chunk) == k:
+        bs = self.cfg.batch_size
+        if self._indexed_step is not None:
+            n = self.dataset.x_train.shape[0]
+            order = np.arange(n)
+            np.random.default_rng(self.seed * 10_000 + epoch).shuffle(order)
+            full = n // bs
+            usable = (full // k) * k
+            for c in range(0, usable, k):
                 rng, r = jax.random.split(rng)
-                flush(chunk, r)
-                chunk = []
-        rng, r = jax.random.split(rng)
-        flush(chunk, r)
+                sel = order[c * bs:(c + k) * bs].reshape(k, bs)
+                account(self._run_indexed(sel, epoch, r))
+            # leftover batches (incomplete chunk / ragged tail): host path
+            rest = order[usable * bs:]
+            chunk = [
+                (self.dataset.x_train[rest[s:s + bs]],
+                 self.dataset.y_train[rest[s:s + bs]])
+                for s in range(0, rest.size, bs)
+            ]
+            if chunk:
+                rng, r = jax.random.split(rng)
+                account(self._run_chunk(chunk, epoch, r))
+        else:
+            chunk = []
+            it = self.dataset.batches(
+                "train", bs, shuffle=True, seed=self.seed * 10_000 + epoch)
+            for xb, yb in it:
+                chunk.append((xb, yb))
+                if len(chunk) == k:
+                    rng, r = jax.random.split(rng)
+                    account(self._run_chunk(chunk, epoch, r))
+                    chunk = []
+            if chunk:
+                rng, r = jax.random.split(rng)
+                account(self._run_chunk(chunk, epoch, r))
         if self.pretrain:
             # best-epoch selection uses the flow loss (`BasicTrainer.py:120-121`)
             return total_flow / max(nb, 1)
