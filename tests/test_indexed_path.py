@@ -1,0 +1,35 @@
+"""The device-resident indexed training path must be numerically
+identical to the host batching path (same shuffle, same PRNG stream)."""
+
+import jax
+import numpy as np
+
+from gptst_tpu.config import default_config
+from gptst_tpu.data import build_dataset
+from gptst_tpu.models.build import build_predictor, predictor_forward
+from gptst_tpu.train import Trainer
+
+
+def _train_one_epoch(device_data):
+    cfg = default_config(
+        "PEMS08", mode="ori", model="STGCN", num_nodes=16, batch_size=8,
+        epochs=1, lr_decay=False, early_stop=False, log_step=1000,
+        scan_steps=4, device_data=device_data)
+    ds = build_dataset(cfg, num_steps=400, seed=0)
+    init_fn, apply_fn = build_predictor(cfg)
+    tr = Trainer(forward=predictor_forward(cfg, apply_fn),
+                 params=init_fn(jax.random.PRNGKey(3)), cfg=cfg, dataset=ds)
+    loss = tr.train_epoch(1, jax.random.PRNGKey(7))
+    return loss, tr
+
+
+def test_indexed_equals_host_path():
+    loss_dev, tr_dev = _train_one_epoch(True)
+    loss_host, tr_host = _train_one_epoch(False)
+    assert tr_dev._indexed_step is not None
+    assert tr_host._indexed_step is None
+    np.testing.assert_allclose(loss_dev, loss_host, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(tr_dev.params),
+                    jax.tree_util.tree_leaves(tr_host.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
