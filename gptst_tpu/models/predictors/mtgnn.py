@@ -139,8 +139,14 @@ class MTGNN(nn.Module):
                                 nn.initializers.xavier_uniform(),
                                 ((c.gcn_depth + 1) * c.conv_channels,
                                  c.residual_channels))
-                h = (mixprop(h, adp, w1, c.gcn_depth, c.propalpha)
-                     + mixprop(h, adp.T, w2, c.gcn_depth, c.propalpha))
+                # the reference MixProp projection is a biased 1x1 conv
+                # (`MTGNN.py:27-33,61`)
+                b1 = self.param(f"mixprop1_b_{i}", nn.initializers.zeros,
+                                (c.residual_channels,))
+                b2 = self.param(f"mixprop2_b_{i}", nn.initializers.zeros,
+                                (c.residual_channels,))
+                h = (mixprop(h, adp, w1, c.gcn_depth, c.propalpha) + b1
+                     + mixprop(h, adp.T, w2, c.gcn_depth, c.propalpha) + b2)
             else:
                 h = nn.Dense(c.residual_channels)(h)
             h = h + residual[:, -h.shape[1]:]

@@ -46,7 +46,15 @@ def stgode_normalized_adj(a: np.ndarray) -> np.ndarray:
 
 class TemporalConvNet(nn.Module):
     """Causal dilated TCN, kernel 2, dilations 1/2/4, residual 1x1
-    (`STGODE.py:22-66`). Layout here: (B, T, N, C)."""
+    (`STGODE.py:22-66`). Layout here: (B, T, N, C).
+
+    The reference's residual line (`STGODE.py:64`) reads
+    `relu(network(y) + downsample(y) if downsample else y)`, which by
+    Python precedence is `relu(network+down) if down else relu(y)` —
+    when in/out channels match there is NO downsample and the whole TCN
+    output is DISCARDED (the block degenerates to relu). We reproduce
+    exactly that so trained behavior matches; the conv params are still
+    created (XLA dead-code-eliminates them)."""
 
     channels: tuple[int, ...]
 
@@ -64,7 +72,8 @@ class TemporalConvNet(nn.Module):
         if x.shape[-1] != self.channels[-1]:
             x = nn.Conv(self.channels[-1], kernel_size=(1, 1),
                         kernel_init=nn.initializers.normal(0.01))(x)
-        return jax.nn.relu(y + x)
+            return jax.nn.relu(y + x)
+        return jax.nn.relu(x)
 
 
 class ODEG(nn.Module):
