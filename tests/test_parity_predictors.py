@@ -724,3 +724,61 @@ def test_ccrnn_forward_parity():
     got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(got, want.reshape(got.shape),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_stwa_forward_parity():
+    """Full ST-WA (windowed proxy attention over temporal cuts
+    12->3->1, skip tower, MLP head) vs `model/ST_WA/ST_WA.py:11-98` +
+    `attention.py`, with dynamic=False so the stochastic latent path is
+    off and the parameter generators are static (the deterministic
+    configuration; the dynamic path only changes how the key/value
+    projection weights are produced)."""
+    from ST_WA.ST_WA import STWA as RefSTWA
+
+    from gptst_tpu.models.predictors.stwa import STWA, STWAConfig
+
+    n, ch = 6, 16
+    ns = argparse.Namespace(
+        adj_mx=[_graph(n).astype("float64")], num_nodes=n, out_dim=1,
+        channels=ch, dynamic=False, horizon=12, lag=12, memory_size=16)
+    ref = RefSTWA(ns, torch.device("cpu"), dim_in=1)
+
+    cfg = STWAConfig(num_nodes=n, channels=ch, dynamic=False,
+                     memory_size=16)
+    model = STWA(cfg=cfg, dim_in=1, dim_out=1, horizon=12, lag=12)
+    x = np.random.default_rng(19).normal(
+        size=(3, 12, n, 1)).astype(np.float32)
+    params = jax.tree.map(
+        np.asarray,
+        model.init(jax.random.PRNGKey(0), jnp.asarray(x)))["params"]
+
+    def pgen(pg):
+        return {"weights": pg.weights.detach().numpy(),
+                "biases": pg.biases.detach().numpy()}
+
+    def att(a):
+        return {"projection1": _lin(a.projection1),
+                "projection2": _lin(a.projection2)}
+
+    params["start_fc"] = _lin(ref.start_fc)
+    for li, layer in enumerate(ref.layers):
+        params[f"layer{li}"] = {
+            "proxies": layer.proxies.detach().numpy(),
+            "tpg0": pgen(layer.temporal_parameter_generators[0]),
+            "tpg1": pgen(layer.temporal_parameter_generators[1]),
+            "spg0": pgen(layer.spatial_parameter_generators[0]),
+            "spg1": pgen(layer.spatial_parameter_generators[1]),
+            "temporal_att": att(layer.temporal_att),
+            "spatial_att": att(layer.spatial_att),
+            "aggregator_0": _lin(layer.aggregator[0]),
+            "aggregator_1": _lin(layer.aggregator[2]),
+        }
+        params[f"skip{li}"] = _lin(ref.skip_layers[li])
+    params["proj1"] = _lin(ref.projections[0])
+    params["proj2"] = _lin(ref.projections[2])
+
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want.reshape(got.shape),
+                               rtol=2e-3, atol=2e-3)
