@@ -156,3 +156,155 @@ def test_mlp_rl_parity():
     got = MLPRL(dim_in=1, dim_out=HS, hidden_dim=D, embed_dim=E).apply(
         params, jnp.asarray(eb), jnp.asarray(time_eb), jnp.asarray(node_eb))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def _tf_params(tf):
+    """reference time_feature/time_feature_spg -> our TimeFeature tree."""
+    return {"Dense_0": _lin(tf.ln_day), "Dense_1": _lin(tf.ln_week),
+            "Dense_2": _lin(tf.ln1), "Dense_3": _lin(tf.ln2),
+            "Dense_4": _lin(tf.ln)}
+
+
+def _hypertem_params(ht):
+    return {"adj": ht.adj.detach().numpy(),
+            "weights_pool": ht.weights_pool.detach().numpy(),
+            "bias_pool": ht.bias_pool.detach().numpy()}
+
+
+def _cap_params(cp):
+    return {"Dense_0": _lin(cp.ln_p),
+            "t_adj": cp.t_adj.detach().numpy(),
+            "adj": cp.adj.detach().numpy(),
+            "weights_spa": cp.weights_spa.detach().numpy(),
+            "bias_spa": cp.bias_spa.detach().numpy()}
+
+
+def _sthcn_params(st):
+    return {
+        "node_embeddings": st.node_embeddings.detach().numpy(),
+        "node_embeddings_spg": st.node_embeddings_spg.detach().numpy(),
+        "TimeFeature_0": _tf_params(st.time_feature1),
+        "TimeFeature_1": _tf_params(st.time_feature1_),
+        "TimeFeatureSPG_0": _tf_params(st.time_feature2),
+        "HyperTem_0": _hypertem_params(st.hyperTem1),
+        "HyperTem_1": _hypertem_params(st.hyperTem2),
+        "HyperTem_2": _hypertem_params(st.hyperTem3),
+        "HyperTem_3": _hypertem_params(st.hyperTem4),
+        "Cap_0": _cap_params(st.cap1),
+        "Cap_1": _cap_params(st.cap2),
+    }
+
+
+def test_gptst_encoder_forward_parity():
+    """Full GPT-ST eval-mode encoder (`forward_fune`,
+    `GPTST.py:485-487` -> `Hypergraph_encoder:419-427` -> the whole
+    STHCN trunk) vs our `GPTST.encode`, weights transplanted. This is
+    the frozen-encoder path every eval-mode downstream run uses."""
+    import argparse
+
+    from Pretrain_model.GPTST import GPTST_Model
+
+    from gptst_tpu.models.gptst import GPTST, GPTSTConfig
+
+    n, hd, e, es = 10, 16, 8, 4
+    ns = argparse.Namespace(
+        num_nodes=n, input_base_dim=1, input_extra_dim=2, hidden_dim=hd,
+        output_dim=1, horizon=12, lag=12, embed_dim=e, embed_dim_spa=es,
+        HS=5, HT=6, HT_Tem=4, num_route=2, mode="eval", model="STGCN",
+        device=torch.device("cpu"), scaler_zeros=0.0, interval=288,
+        week_day=7, mask_ratio=0.25, ada_mask_ratio=0.5, ada_type="all",
+        change_epoch=10, epochs=100)
+    ref = _init_ref(GPTST_Model(ns), seed=5)
+
+    cfg = GPTSTConfig(num_nodes=n, input_base_dim=1, hidden_dim=hd,
+                      horizon=12, embed_dim=e, embed_dim_spa=es, HS=5,
+                      HT=6, HT_Tem=4, num_route=2, epochs=100)
+    model = GPTST(cfg=cfg)
+    rng = np.random.default_rng(20)
+    flow = rng.normal(size=(3, 12, n, 1)).astype(np.float32)
+    day = np.broadcast_to(rng.normal(size=(3, 12, 1, 1)), (3, 12, n, 1))
+    week = np.broadcast_to(rng.normal(size=(3, 12, 1, 1)), (3, 12, n, 1))
+    src = np.concatenate([flow, day, week], axis=-1).astype(np.float32)
+
+    params = jax.tree.map(
+        np.asarray,
+        model.init(jax.random.PRNGKey(0), jnp.asarray(src)))["params"]
+    params["dim_in_flow"] = _lin(ref.encoder.dim_in_flow)
+    params["encoder"] = _sthcn_params(ref.encoder.STHCN_encode)
+
+    with torch.no_grad():
+        want = ref.forward_fune(_t(src), None)[0].numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(src)))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_gptst_pretrain_forward_parity():
+    """Full pretrain forward (`forward_pretrain`, `GPTST.py:480-483`):
+    encoder + decoder trunks, output head, mask-policy probability and
+    the HS_cat routing target, with mask_ratio=0 so the (random) mask
+    is deterministically all-ones on both sides. Covers everything in
+    the pretrain graph except mask sampling itself (tested
+    distributionally in test_gptst.py)."""
+    import argparse
+
+    from Pretrain_model.GPTST import GPTST_Model
+
+    from gptst_tpu.models.gptst import GPTST, GPTSTConfig
+    from test_parity_gptst import (_cap_params, _hypertem_params,
+                                   _sthcn_params, _tf_params)
+
+    n, hd, e, es = 10, 16, 8, 4
+    ns = argparse.Namespace(
+        num_nodes=n, input_base_dim=1, input_extra_dim=2, hidden_dim=hd,
+        output_dim=1, horizon=12, lag=12, embed_dim=e, embed_dim_spa=es,
+        HS=5, HT=6, HT_Tem=4, num_route=2, mode="pretrain", model="STGCN",
+        device=torch.device("cpu"), scaler_zeros=0.0, interval=288,
+        week_day=7, mask_ratio=0.0, ada_mask_ratio=0.5, ada_type="all",
+        change_epoch=10, epochs=100)
+    ref = _init_ref(GPTST_Model(ns), seed=6)
+
+    cfg = GPTSTConfig(num_nodes=n, input_base_dim=1, hidden_dim=hd,
+                      horizon=12, embed_dim=e, embed_dim_spa=es, HS=5,
+                      HT=6, HT_Tem=4, num_route=2, mask_ratio=0.0,
+                      change_epoch=10, epochs=100)
+    model = GPTST(cfg=cfg)
+    rng = np.random.default_rng(21)
+    flow = rng.normal(size=(3, 12, n, 1)).astype(np.float32)
+    day = np.broadcast_to(rng.normal(size=(3, 12, 1, 1)), (3, 12, n, 1))
+    week = np.broadcast_to(rng.normal(size=(3, 12, 1, 1)), (3, 12, n, 1))
+    src = np.concatenate([flow, day, week], axis=-1).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+    epoch = jnp.asarray(5, jnp.int32)   # <= change_epoch: random branch
+
+    params = jax.tree.map(
+        np.asarray,
+        model.init(jax.random.PRNGKey(0), jnp.asarray(src), key,
+                   epoch))["params"]
+    params["dim_in_flow"] = _lin(ref.encoder.dim_in_flow)
+    params["encoder"] = _sthcn_params(ref.encoder.STHCN_encode)
+    params["decoder"] = _sthcn_params(ref.decoder.STHCN_decode)
+    params["dim_flow_out"] = _lin(ref.decoder.dim_flow_out)
+    rl = ref.encoder.MLP_RL
+    params["mlp_rl"] = {
+        "Dense_0": _lin(rl.ln1), "Dense_1": _lin(rl.ln3),
+        "weights_pool_spa": rl.weights_pool_spa.detach().numpy(),
+        "bias_pool_spa": rl.bias_pool_spa.detach().numpy(),
+        "weights_pool_tem": rl.weights_pool_tem.detach().numpy(),
+        "bias_pool_tem": rl.bias_pool_tem.detach().numpy()}
+    params["teb4mask"] = _tf_params(ref.encoder.teb4mask)
+    params["neb4mask"] = ref.encoder.neb4mask.detach().numpy()
+
+    with torch.no_grad():
+        w_out, w_dec, w_mask, w_prob, w_hs = ref.forward_pretrain(
+            _t(src), _t(src), epoch=5)
+    g_out, g_dec, g_mask, g_prob, g_hs = model.apply(
+        {"params": params}, jnp.asarray(src), key, epoch)
+
+    np.testing.assert_allclose(np.asarray(g_mask), w_mask.numpy(),
+                               rtol=0, atol=0)   # both all-zeros (1-mask)
+    np.testing.assert_allclose(np.asarray(g_prob), w_prob.numpy(),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g_hs), w_hs.numpy(),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g_out), w_out.numpy(),
+                               rtol=2e-3, atol=2e-3)
