@@ -37,6 +37,15 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _pad_chunk(cols: np.ndarray, vals: np.ndarray, tile: int):
+    """Append _DMA_CHUNK zero blocks so chunked DMAs may over-read."""
+    pad = _DMA_CHUNK
+    cols = np.concatenate([cols, np.zeros(pad, cols.dtype)])
+    vals = np.concatenate(
+        [vals, np.zeros((pad, tile, tile), vals.dtype)])
+    return cols, vals
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class BlockCSR:
@@ -79,6 +88,7 @@ class BlockCSR:
             cols = np.zeros(1, np.int64)
             vals = np.zeros((1, tile, tile), np.float32)
             ptr = np.concatenate([np.zeros(rt, np.int64), np.ones(1, np.int64)])
+        cols, vals = _pad_chunk(cols, vals, tile)
         return cls(
             block_ptr=jnp.asarray(ptr, jnp.int32),
             block_cols=jnp.asarray(cols, jnp.int32),
@@ -109,11 +119,22 @@ class BlockCSR:
             t_cols = [0]
             t_vals = [np.zeros((self.tile, self.tile), np.float32)]
             t_ptr = [0] * rt + [1]
+        t_cols, t_vals = _pad_chunk(
+            np.asarray(t_cols), np.stack(t_vals), self.tile)
         return BlockCSR(
             block_ptr=jnp.asarray(t_ptr, jnp.int32),
             block_cols=jnp.asarray(t_cols, jnp.int32),
-            block_vals=jnp.asarray(np.stack(t_vals), jnp.float32),
+            block_vals=jnp.asarray(t_vals, jnp.float32),
             n=self.n, n_pad=self.n_pad, tile=self.tile)
+
+
+# Blocks DMA'd per async copy. A lone (128,128) f32 block is 64 KiB —
+# small enough that per-DMA issue latency dominates HBM streaming time
+# (measured ~4x off bandwidth-bound). Blocks of a row tile are
+# contiguous in block_vals, so batching CHUNK of them per copy
+# amortizes the issue cost; from_dense/transpose pad the value array by
+# CHUNK zero blocks so the final (partial) chunk can over-copy safely.
+_DMA_CHUNK = 8
 
 
 def _spmm_kernel(ptr_ref, cols_ref, vals_hbm, x_ref, out_ref):
@@ -122,40 +143,46 @@ def _spmm_kernel(ptr_ref, cols_ref, vals_hbm, x_ref, out_ref):
     start = ptr_ref[i]
     end = ptr_ref[i + 1]
     num = end - start
+    nch = pl.cdiv(num, _DMA_CHUNK)
 
     def scoped(vbuf, sems):
-        # double-buffered HBM->VMEM DMA of adjacency blocks, overlapped
-        # with the MXU block matmuls
-        def get_dma(slot, b):
+        # double-buffered, chunked HBM->VMEM DMA of adjacency blocks,
+        # overlapped with the MXU block matmuls
+        def get_dma(slot, c):
             return pltpu.make_async_copy(
-                vals_hbm.at[b], vbuf.at[slot], sems.at[slot])
+                vals_hbm.at[pl.ds(start + c * _DMA_CHUNK, _DMA_CHUNK)],
+                vbuf.at[slot], sems.at[slot])
 
-        @pl.when(num > 0)
+        @pl.when(nch > 0)
         def _():
-            get_dma(0, start).start()
+            get_dma(0, 0).start()
 
-        def body(k, acc):
-            b = start + k
-            slot = jax.lax.rem(k, 2)
-            next_slot = jax.lax.rem(k + 1, 2)
+        def chunk_body(c, acc):
+            slot = jax.lax.rem(c, 2)
 
-            @pl.when(k + 1 < num)
+            @pl.when(c + 1 < nch)
             def _():
-                get_dma(next_slot, b + 1).start()
+                get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
 
-            get_dma(slot, b).wait()
-            col = cols_ref[b]
-            xa = x_ref[pl.ds(col * tb, tb), :]
-            return acc + jnp.dot(vbuf[slot], xa,
-                                 preferred_element_type=jnp.float32)
+            get_dma(slot, c).wait()
+            base = start + c * _DMA_CHUNK
+
+            def blk_body(j, a):
+                col = cols_ref[base + j]
+                xa = x_ref[pl.ds(col * tb, tb), :]
+                return a + jnp.dot(vbuf[slot, j], xa,
+                                   preferred_element_type=jnp.float32)
+
+            valid = jnp.minimum(_DMA_CHUNK, num - c * _DMA_CHUNK)
+            return jax.lax.fori_loop(0, valid, blk_body, acc)
 
         acc0 = jnp.zeros(out_ref.shape, jnp.float32)
-        out_ref[:] = jax.lax.fori_loop(0, num, body, acc0).astype(
+        out_ref[:] = jax.lax.fori_loop(0, nch, chunk_body, acc0).astype(
             out_ref.dtype)
 
     pl.run_scoped(
         scoped,
-        pltpu.VMEM((2, tb, tb), jnp.float32),
+        pltpu.VMEM((2, _DMA_CHUNK, tb, tb), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     )
 
