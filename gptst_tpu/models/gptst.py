@@ -379,7 +379,9 @@ class GPTST(nn.Module):
         mask = generate_mask(
             c, rng, jax.lax.stop_gradient(guide), epoch,
             (source.shape[0], c.horizon, c.num_nodes, b))
-        mask = jax.lax.stop_gradient(mask)
+        # cast to the compute dtype so a bf16 forward stays bf16 (the
+        # mask itself is built in f32 for exact budget arithmetic)
+        mask = jax.lax.stop_gradient(mask).astype(source.dtype)
         masked_src = jnp.where(mask == 0, c.scaler_zeros,
                                mask * source[..., :b])
         x_flow = self.dim_in_flow(masked_src)

@@ -23,17 +23,36 @@ from gptst_tpu.train.loss import kl_div_sum
 
 def make_loss_terms(forward: ForwardFn, loss_fn: Callable,
                     cfg: FrameworkConfig) -> Callable:
-    """Returns loss_terms(params, x, y, rng, epoch) -> (total, flow)."""
+    """Returns loss_terms(params, x, y, rng, epoch) -> (total, flow).
+
+    `cfg.compute_dtype == 'bfloat16'` enables the TPU mixed-precision
+    recipe: master params stay f32 (Adam state, updates), the forward
+    runs on a bf16 cast of params + inputs (half the HBM traffic, full
+    MXU rate), and the loss/KL path is computed in f32. Gradients flow
+    through the cast and arrive f32.
+    """
     pretrain = cfg.mode == "pretrain"
+    bf16 = cfg.compute_dtype == "bfloat16"
+
+    def _cast_bf16(t):
+        return jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
 
     def loss_terms(params, x, y, rng, epoch, step):
-        out = forward(params, x, y, rng, epoch, step)
         label = y if not pretrain else x
-        flow_loss = loss_fn(
-            out.pred, label[..., : cfg.output_dim], out.mask)
+        if bf16:
+            params_c, x, y = _cast_bf16(params), _cast_bf16(x), _cast_bf16(y)
+        else:
+            params_c = params
+        out = forward(params_c, x, y, rng, epoch, step)
+        pred = out.pred.astype(jnp.float32)
+        mask = None if out.mask is None else out.mask.astype(jnp.float32)
+        flow_loss = loss_fn(pred, label[..., : cfg.output_dim], mask)
         if pretrain and out.probability is not None:
-            kl = kl_div_sum(
-                jnp.log(jnp.maximum(out.probability, 1e-38)), out.routing)
+            prob = out.probability.astype(jnp.float32)
+            routing = out.routing.astype(jnp.float32)
+            kl = kl_div_sum(jnp.log(jnp.maximum(prob, 1e-38)), routing)
             total = jnp.where(
                 epoch > cfg.change_epoch, flow_loss + 0.1 * kl, flow_loss)
         else:
