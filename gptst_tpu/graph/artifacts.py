@@ -9,8 +9,7 @@ loops, e.g. `model/STGCN/args.py:7-26`).
 
 All functions return dense float32 arrays: reference graphs are tiny
 (N <= 266) and dense N x N matmuls map straight onto the MXU. The
-CSR/segment layout for partitioned large graphs lives in
-`gptst_tpu/graph/partition.py` and `gptst_tpu/kernels/spmm.py`.
+block-sparse layout for large graphs lives in `gptst_tpu/kernels/spmm.py`.
 """
 
 from __future__ import annotations

@@ -2,9 +2,7 @@
 
 All graph aggregation in the framework flows through these functions.
 For reference-scale graphs (N <= 266) the supports are dense (K, N, N)
-stacks and the contractions map directly onto the MXU. For partitioned
-large graphs the same API dispatches to the Pallas segment-SpMM kernel
-(`gptst_tpu/kernels/spmm.py`) — callers never change.
+stacks and the contractions map directly onto the MXU.
 
 Layout everywhere: x is (B, T, N, C) (or (B, N, C) for recurrent
 cells), supports act on the N axis.

@@ -23,7 +23,7 @@ from gptst_tpu.train.loss import kl_div_sum
 
 def make_loss_terms(forward: ForwardFn, loss_fn: Callable,
                     cfg: FrameworkConfig) -> Callable:
-    """Returns loss_terms(params, x, y, rng, epoch) -> (total, flow).
+    """Returns loss_terms(params, x, y, rng, epoch, step) -> (total, flow).
 
     `cfg.compute_dtype == 'bfloat16'` enables the TPU mixed-precision
     recipe: master params stay f32 (Adam state, updates), the forward
@@ -35,6 +35,10 @@ def make_loss_terms(forward: ForwardFn, loss_fn: Callable,
     bf16 = cfg.compute_dtype == "bfloat16"
 
     def _cast_bf16(t):
+        # bf16's 8 mantissa bits resolve ~0.004 near 1.0: the standardized
+        # day-slot covariate channel stays distinguishable up to ~400
+        # slots/day (reference datasets: 288 at 5-min, 48 at 30-min).
+        # Datasets with finer time resolution should run compute_dtype=f32.
         return jax.tree.map(
             lambda a: a.astype(jnp.bfloat16)
             if jnp.issubdtype(a.dtype, jnp.floating) else a, t)

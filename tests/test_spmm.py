@@ -1,5 +1,5 @@
 """Block-sparse SpMM kernel vs dense reference (interpret mode on CPU;
-the same program compiles for TPU — bench.py exercises it there)."""
+the same program compiles for TPU — scripts/spmm_bench.py runs it there)."""
 
 import jax
 import jax.numpy as jnp
