@@ -1,0 +1,162 @@
+"""Graph partitioning for sparse/sharded aggregation.
+
+Host-side (numpy, cacheable) preprocessing that turns a sensor graph
+into the layouts the TPU aggregation paths consume:
+
+  * a bandwidth-reducing node ordering (reverse Cuthill-McKee), which
+    clusters nonzeros near the diagonal so the block-CSR SpMM kernel
+    (`gptst_tpu/kernels/spmm.py`) touches far fewer (TB x TB) blocks
+    and each shard's halo shrinks;
+  * contiguous node-range shards over the 'graph' mesh axis with, per
+    shard, the local block-CSR of its adjacency rows and the *halo
+    index set* — the non-local source nodes its rows read. The halo
+    sets drive the explicit gather/`ppermute` exchange in
+    `gptst_tpu/parallel/halo.py` and the Pallas remote-copy kernel.
+
+The reference has no counterpart (single GPU, N <= 266 dense,
+`model/Run.py:27`); this is the SURVEY §2.5 / §7.1#6 scale-out layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def rcm_order(adj: np.ndarray) -> np.ndarray:
+    """Reverse Cuthill-McKee node ordering (pure numpy BFS).
+
+    Returns `perm` such that `adj[perm][:, perm]` has small bandwidth:
+    neighbors land in nearby rows, so tiling into (TB, TB) blocks keeps
+    most blocks empty and contiguous shards have small halos.
+    """
+    n = adj.shape[0]
+    pattern = (adj != 0) | (adj.T != 0)
+    np.fill_diagonal(pattern, False)
+    degree = pattern.sum(axis=1)
+    visited = np.zeros(n, dtype=bool)
+    order: list[int] = []
+    while len(order) < n:
+        # start each component at its minimum-degree unvisited node
+        start = int(np.flatnonzero(~visited)[
+            np.argmin(degree[~visited])])
+        visited[start] = True
+        queue = [start]
+        while queue:
+            u = queue.pop(0)
+            order.append(u)
+            nbrs = np.flatnonzero(pattern[u] & ~visited)
+            nbrs = nbrs[np.argsort(degree[nbrs], kind="stable")]
+            visited[nbrs] = True
+            queue.extend(int(v) for v in nbrs)
+    return np.asarray(order[::-1], dtype=np.int64)
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphPartition:
+    """P contiguous node-range shards of a (possibly reordered) graph.
+
+    All index arrays refer to *permuted* node ids; `perm` maps permuted
+    position -> original node id (`inv_perm` the other way). Features
+    must be permuted once at ingestion: `x_perm = x[..., perm, :]`.
+    """
+
+    perm: np.ndarray          # (n,) permuted position -> original id
+    inv_perm: np.ndarray      # (n,) original id -> permuted position
+    parts: int
+    n: int                    # logical node count
+    n_loc: int                # padded nodes per shard (n_pad = P * n_loc)
+    # per-shard halo: permuted ids of non-local source nodes each
+    # shard's rows read, padded to the max halo size with self-indices
+    halo_idx: np.ndarray      # (P, halo_max) int32, global permuted ids
+    halo_size: np.ndarray     # (P,) int32 true halo sizes
+    # per-shard rows of the permuted+padded adjacency, columns reordered
+    # to [local block | gathered halo block] so the local SpMM is dense
+    # over n_loc + halo_max columns
+    local_adj: np.ndarray     # (P, n_loc, n_loc + halo_max) float32
+
+    @property
+    def n_pad(self) -> int:
+        return self.parts * self.n_loc
+
+    @property
+    def halo_max(self) -> int:
+        return self.halo_idx.shape[1]
+
+    def pad_features(self, x: np.ndarray) -> np.ndarray:
+        """Permute the node axis (axis -2) and zero-pad to n_pad."""
+        x = np.take(x, self.perm, axis=-2)
+        pad = [(0, 0)] * x.ndim
+        pad[-2] = (0, self.n_pad - self.n)
+        return np.pad(x, pad)
+
+    def unpad_features(self, x: np.ndarray) -> np.ndarray:
+        """Drop padding and undo the permutation on axis -2."""
+        x = np.take(x, np.arange(self.n), axis=-2)
+        return np.take(x, self.inv_perm, axis=-2)
+
+
+def partition_graph(adj: np.ndarray, parts: int,
+                    reorder: bool = True) -> GraphPartition:
+    """Split `adj` into P contiguous row shards with halo index sets.
+
+    With `reorder=True` the nodes are RCM-permuted first, shrinking
+    both block fill and halo sizes (locality-aware partitioning; the
+    contiguous-range split of the reordered graph plays the role of a
+    METIS/greedy edge partitioner without the external dependency).
+    """
+    n = adj.shape[0]
+    if reorder:
+        perm = rcm_order(adj)
+    else:
+        perm = np.arange(n, dtype=np.int64)
+    inv_perm = np.empty_like(perm)
+    inv_perm[perm] = np.arange(n)
+    a = adj[perm][:, perm].astype(np.float32)
+
+    n_loc = -(-n // parts)
+    n_pad = n_loc * parts
+    a_pad = np.zeros((n_pad, n_pad), np.float32)
+    a_pad[:n, :n] = a
+
+    halo_lists = []
+    for p in range(parts):
+        lo, hi = p * n_loc, (p + 1) * n_loc
+        rows = a_pad[lo:hi]                      # (n_loc, n_pad)
+        used = np.flatnonzero(np.any(rows != 0, axis=0))
+        halo_lists.append(used[(used < lo) | (used >= hi)])
+    halo_size = np.asarray([len(h) for h in halo_lists], np.int32)
+    halo_max = max(1, int(halo_size.max()))
+
+    halo_idx = np.zeros((parts, halo_max), np.int32)
+    local_adj = np.zeros((parts, n_loc, n_loc + halo_max), np.float32)
+    for p in range(parts):
+        lo, hi = p * n_loc, (p + 1) * n_loc
+        h = halo_lists[p]
+        # pad the halo set with local index lo (a gather of an already
+        # -local row whose adjacency columns are zero — harmless)
+        halo_idx[p, : len(h)] = h
+        halo_idx[p, len(h):] = lo
+        rows = a_pad[lo:hi]
+        local_adj[p, :, :n_loc] = rows[:, lo:hi]
+        local_adj[p, :, n_loc: n_loc + len(h)] = rows[:, h]
+
+    return GraphPartition(
+        perm=perm, inv_perm=inv_perm, parts=parts, n=n, n_loc=n_loc,
+        halo_idx=halo_idx, halo_size=halo_size, local_adj=local_adj)
+
+
+def partition_stats(part: GraphPartition) -> dict:
+    """Diagnostics: halo fraction and local-block density per shard."""
+    nnz_local = np.count_nonzero(part.local_adj[:, :, : part.n_loc])
+    nnz_halo = np.count_nonzero(part.local_adj[:, :, part.n_loc:])
+    return {
+        "parts": part.parts,
+        "n_loc": part.n_loc,
+        "halo_max": part.halo_max,
+        "halo_mean": float(part.halo_size.mean()),
+        "halo_frac": float(part.halo_size.mean()) / max(part.n_loc, 1),
+        "nnz_local": int(nnz_local),
+        "nnz_halo": int(nnz_halo),
+    }

@@ -16,9 +16,10 @@ Kernel layout:
   block values and the x feature stripe live in VMEM.
 
 Backward: dX = A^T @ dY is the same kernel over the transposed block
-structure (precomputed once); the adjacency is a constant, so no
-cotangent is produced for it (supports here are precomputed graph
-artifacts — learned adjacencies are dense and take the einsum path).
+structure (precomputed once). dA (per nonzero block) = dY_rowtile @
+X_coltile^T — a wide-inner-dim SDDMM kernel — so learned block-sparse
+adjacencies (`gptst_tpu/kernels/sddmm.py:adaptive_support`) train;
+for constant graph artifacts the dA kernel is dead code XLA removes.
 """
 
 from __future__ import annotations
@@ -93,6 +94,33 @@ class BlockCSR:
             block_ptr=jnp.asarray(ptr, jnp.int32),
             block_cols=jnp.asarray(cols, jnp.int32),
             block_vals=jnp.asarray(vals, jnp.float32),
+            n=n, n_pad=n_pad, tile=tile)
+
+    @classmethod
+    def from_coo(cls, rows: np.ndarray, cols: np.ndarray,
+                 vals: np.ndarray, n: int, tile: int = 128) -> "BlockCSR":
+        """Build from an edge list without materializing the dense
+        (N, N) adjacency — required beyond ~16k nodes."""
+        n_pad = _round_up(n, tile)
+        rt = n_pad // tile
+        br = rows // tile
+        bc = cols // tile
+        key = br.astype(np.int64) * rt + bc
+        uniq, inv = np.unique(key, return_inverse=True)
+        nnzb = uniq.size
+        blocks = np.zeros((nnzb, tile, tile), np.float32)
+        np.add.at(blocks, (inv, rows % tile, cols % tile),
+                  vals.astype(np.float32))
+        u_rows = (uniq // rt).astype(np.int64)
+        u_cols = (uniq % rt).astype(np.int64)
+        ptr = np.zeros(rt + 1, np.int64)
+        np.add.at(ptr, u_rows + 1, 1)
+        ptr = np.cumsum(ptr)
+        u_cols, blocks = _pad_chunk(u_cols, blocks, tile)
+        return cls(
+            block_ptr=jnp.asarray(ptr, jnp.int32),
+            block_cols=jnp.asarray(u_cols, jnp.int32),
+            block_vals=jnp.asarray(blocks, jnp.float32),
             n=n, n_pad=n_pad, tile=tile)
 
     def transpose(self) -> "BlockCSR":
@@ -187,18 +215,100 @@ def _spmm_kernel(ptr_ref, cols_ref, vals_hbm, x_ref, out_ref):
     )
 
 
+def _spmm_kernel_stream(ptr_ref, cols_ref, vals_hbm, x_hbm, out_ref):
+    """Large-N variant: x stays in HBM; the referenced (TB, FT) column
+    blocks are gathered per adjacency block, double-buffered with the
+    value DMAs (the resident-stripe variant needs n_pad*FT*4 bytes of
+    VMEM, which overflows past ~16k nodes)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tb = out_ref.shape[0]
+    ft = out_ref.shape[1]
+    start = ptr_ref[i]
+    end = ptr_ref[i + 1]
+    num = end - start
+    nch = pl.cdiv(num, _DMA_CHUNK)
+
+    def scoped(vbuf, xbuf, vsem, xsem):
+        def val_dma(slot, c):
+            return pltpu.make_async_copy(
+                vals_hbm.at[pl.ds(start + c * _DMA_CHUNK, _DMA_CHUNK)],
+                vbuf.at[slot], vsem.at[slot])
+
+        def x_dma(slot, c, k):
+            col = cols_ref[start + c * _DMA_CHUNK + k]  # pad cols are 0
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(col * tb, tb), pl.ds(j * ft, ft)],
+                xbuf.at[slot, k], xsem.at[slot, k])
+
+        def start_chunk(slot, c):
+            val_dma(slot, c).start()
+            for k in range(_DMA_CHUNK):
+                x_dma(slot, c, k).start()
+
+        @pl.when(nch > 0)
+        def _():
+            start_chunk(0, 0)
+
+        def chunk_body(c, acc):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < nch)
+            def _():
+                start_chunk(jax.lax.rem(c + 1, 2), c + 1)
+
+            val_dma(slot, c).wait()
+            valid = num - c * _DMA_CHUNK
+            # every started DMA must be waited (a leaked semaphore
+            # signal would corrupt the slot's next reuse), but chunk
+            # overrun reads the NEXT row tile's blocks — mask those
+            # contributions out
+            for k in range(_DMA_CHUNK):
+                x_dma(slot, c, k).wait()
+                blk = jnp.dot(vbuf[slot, k], xbuf[slot, k],
+                              preferred_element_type=jnp.float32)
+                acc = acc + jnp.where(k < valid, blk, 0.0)
+            return acc
+
+        acc0 = jnp.zeros(out_ref.shape, jnp.float32)
+        out_ref[:] = jax.lax.fori_loop(0, nch, chunk_body, acc0).astype(
+            out_ref.dtype)
+
+    pl.run_scoped(
+        scoped,
+        pltpu.VMEM((2, _DMA_CHUNK, out_ref.shape[0], out_ref.shape[0]),
+                   jnp.float32),
+        pltpu.VMEM((2, _DMA_CHUNK, out_ref.shape[0], out_ref.shape[1]),
+                   jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2, _DMA_CHUNK)),
+    )
+
+
+# Resident-stripe variant budget: the whole (n_pad, FT) x stripe lives
+# in VMEM. Past this, switch to the streaming-gather variant.
+_STRIPE_VMEM_BUDGET = 8 * 1024 * 1024
+
+
 def _spmm_padded(bcsr: BlockCSR, x_pad: jnp.ndarray,
                  feat_tile: int) -> jnp.ndarray:
     """out_pad = A_pad @ x_pad; x_pad: (n_pad, f_pad)."""
     n_pad, f_pad = x_pad.shape
     tb = bcsr.tile
+    stream = n_pad * feat_tile * 4 > _STRIPE_VMEM_BUDGET
+    if stream:
+        kernel = _spmm_kernel_stream
+        x_spec = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        kernel = _spmm_kernel
+        x_spec = pl.BlockSpec((n_pad, feat_tile), lambda i, j, *_: (0, j),
+                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(bcsr.row_tiles, f_pad // feat_tile),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),             # block_vals
-            pl.BlockSpec((n_pad, feat_tile), lambda i, j, *_: (0, j),
-                         memory_space=pltpu.VMEM),          # x stripe
+            x_spec,
         ],
         out_specs=pl.BlockSpec((tb, feat_tile), lambda i, j, *_: (i, j),
                                memory_space=pltpu.VMEM),
@@ -206,7 +316,7 @@ def _spmm_padded(bcsr: BlockCSR, x_pad: jnp.ndarray,
     nnzb = bcsr.block_vals.shape[0]
     flops = 2 * nnzb * tb * tb * feat_tile
     return pl.pallas_call(
-        _spmm_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, f_pad), x_pad.dtype),
         cost_estimate=pl.CostEstimate(
@@ -241,14 +351,93 @@ def _spmm_impl(bcsr: BlockCSR, x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _dvals_kernel(rids_ref, cols_ref, g_ref, x_ref, out_ref):
+    del rids_ref, cols_ref  # consumed by the index maps
+    j = pl.program_id(1)
+    blk = jax.lax.dot_general(
+        g_ref[:], x_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0] = blk
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[0] += blk
+
+
+def _spmm_dvals(bcsr: BlockCSR, g: jnp.ndarray,
+                x: jnp.ndarray) -> jnp.ndarray:
+    """d block_vals[b] = dY[row-tile b] @ X[col-tile b]^T.
+
+    g, x: (..., N, C) cotangent / saved input. Returns (nnzb, TB, TB)
+    with the _pad_chunk padding blocks zeroed.
+    """
+    tb = bcsr.tile
+    rt = bcsr.row_tiles
+    nnzb = bcsr.block_vals.shape[0]
+
+    def flatten(t):
+        *_, n, c = t.shape
+        flat = jnp.moveaxis(t.reshape(-1, n, c), 1, 0).reshape(n, -1)
+        return flat
+
+    gf, xf = flatten(g), flatten(x)
+    f = gf.shape[1]
+    feat_tile = 128 if f % 128 == 0 else _round_up(min(f, 512), 128)
+    f_pad = _round_up(f, feat_tile)
+
+    def pad(t):
+        out = jnp.zeros((bcsr.n_pad, f_pad), jnp.float32)
+        return out.at[: t.shape[0], :f].set(t.astype(jnp.float32))
+
+    # block-row ids from the (possibly traced) ptr; clamp the padding
+    # blocks into range and zero their output after the kernel
+    bid = jnp.arange(nnzb, dtype=jnp.int32)
+    rids = jnp.clip(
+        jnp.searchsorted(bcsr.block_ptr, bid, side="right") - 1, 0, rt - 1
+    ).astype(jnp.int32)
+    valid = (bid < bcsr.block_ptr[-1]).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nnzb, f_pad // feat_tile),
+        in_specs=[
+            pl.BlockSpec((tb, feat_tile),
+                         lambda b, j, rids, cols: (rids[b], j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, feat_tile),
+                         lambda b, j, rids, cols: (cols[b], j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tb, tb),
+                               lambda b, j, rids, cols: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    dvals = pl.pallas_call(
+        _dvals_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nnzb, tb, tb), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nnzb * tb * tb * f_pad,
+            bytes_accessed=(2 * nnzb * tb * f_pad + nnzb * tb * tb) * 4,
+            transcendentals=0),
+    )(rids, bcsr.block_cols, pad(gf), pad(xf))
+    return dvals * valid[:, None, None]
+
+
 def _spmm_fwd(bcsr, bcsr_t, x):
-    return _spmm_impl(bcsr, x), (bcsr, bcsr_t)
+    return _spmm_impl(bcsr, x), (bcsr, bcsr_t, x)
 
 
 def _spmm_bwd(res, g):
-    bcsr, bcsr_t = res
-    zeros = jax.tree.map(jnp.zeros_like, (bcsr, bcsr_t))
-    return (*zeros, _spmm_impl(bcsr_t, g))
+    bcsr, bcsr_t, x = res
+    d_bcsr = jax.tree.map(jnp.zeros_like, bcsr)
+    d_bcsr = dataclasses.replace(d_bcsr,
+                                 block_vals=_spmm_dvals(bcsr, g, x))
+    d_bcsr_t = jax.tree.map(jnp.zeros_like, bcsr_t)
+    return (d_bcsr, d_bcsr_t, _spmm_impl(bcsr_t, g))
 
 
 spmm.defvjp(_spmm_fwd, _spmm_bwd)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gptst_tpu.graph.artifacts import asym_adj
+from gptst_tpu.ops.graph_conv import graph_matmul
 
 xavier_normal = nn.initializers.xavier_normal()
 
@@ -57,7 +58,8 @@ class GMSDRCell(nn.Module):
 
     @nn.compact
     def __call__(self, hx_k, x, supports):
-        # hx_k: (B, K, N, U); x: (B, N, Din); supports: (S, N, N)
+        # hx_k: (B, K, N, U); x: (B, N, Din); supports: tuple of
+        # (N, N) arrays or SparseSupport (block-CSR at large N)
         c = self.cfg
         B, K, N, U = hx_k.shape
         e1 = self.param("nodevec1", nn.initializers.normal(1.0),
@@ -71,12 +73,12 @@ class GMSDRCell(nn.Module):
         z = jnp.concatenate([x, pre_h], axis=-1)         # (B, N, Z)
 
         mats = [z]
-        for s in range(supports.shape[0]):
-            h1 = jnp.einsum("nm,bmc->bnc", supports[s], z)
+        for sup in supports:
+            h1 = graph_matmul(sup, z)
             mats.append(h1)
             h0 = z
             for _ in range(2, c.max_diffusion_step + 1):
-                h2 = 2 * jnp.einsum("nm,bmc->bnc", supports[s], h1) - h0
+                h2 = 2 * graph_matmul(sup, h1) - h0
                 mats.append(h2)
                 h1, h0 = h2, h1
         h1 = jnp.einsum("nm,bmc->bnc", adp, z)

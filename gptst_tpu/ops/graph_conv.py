@@ -1,8 +1,18 @@
 """Graph convolution primitives.
 
-All graph aggregation in the framework flows through these functions.
-For reference-scale graphs (N <= 266) the supports are dense (K, N, N)
-stacks and the contractions map directly onto the MXU.
+All graph aggregation in the framework flows through `graph_matmul`,
+which dispatches on the support representation:
+
+  * plain (N, N) array — dense einsum straight onto the MXU; the
+    default at reference scale (N <= 266) and for learned/adaptive
+    adjacencies;
+  * `SparseSupport` — block-CSR Pallas SpMM
+    (`gptst_tpu/kernels/spmm.py`) for large graphs, with an optional
+    RCM node reordering that concentrates nonzero blocks.
+
+`make_support` picks the representation from the node count, so model
+code is representation-agnostic — the same predictor runs dense at
+N=170 and block-sparse at N=64k.
 
 Layout everywhere: x is (B, T, N, C) (or (B, N, C) for recurrent
 cells), supports act on the N axis.
@@ -10,15 +20,101 @@ cells), supports act on the N axis.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+from gptst_tpu.kernels.spmm import BlockCSR, spmm
+
+# Below this node count a dense (N, N) einsum beats the block-sparse
+# kernel outright (one MXU pass, no gather/indexing overhead).
+DENSE_THRESHOLD = 512
 
 
-def graph_matmul(support: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SparseSupport:
+    """Block-CSR adjacency (+ its transpose, for the VJP), optionally
+    behind an RCM node permutation (`gptst_tpu/graph/partition.py`).
+
+    With a permutation, `graph_matmul` computes Pᵀ (A_perm @ (P x)) so
+    callers keep the original node order.
+    """
+
+    bcsr: BlockCSR
+    bcsr_t: BlockCSR
+    perm: jnp.ndarray | None = None      # (N,) permuted pos -> original
+    inv_perm: jnp.ndarray | None = None
+
+    def tree_flatten(self):
+        return ((self.bcsr, self.bcsr_t, self.perm, self.inv_perm), ())
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def T(self) -> "SparseSupport":
+        return SparseSupport(self.bcsr_t, self.bcsr, self.perm,
+                             self.inv_perm)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.bcsr.n, self.bcsr.n)
+
+
+def _count_blocks(rows: np.ndarray, cols: np.ndarray, tile: int) -> int:
+    pairs = (rows // tile).astype(np.int64) * (1 << 32) + cols // tile
+    return int(np.unique(pairs).size)
+
+
+def make_support(adj: np.ndarray, *, dense_threshold: int = DENSE_THRESHOLD,
+                 tile: int = 128, reorder: bool = True):
+    """Pick the aggregation representation for a precomputed support.
+
+    Dense jnp array for small graphs; `SparseSupport` (block-CSR for
+    the Pallas SpMM) above the threshold. With `reorder=True` an RCM
+    node ordering is tried and kept only if it actually reduces the
+    nonzero block count (>10% — it helps banded/road graphs presented
+    in scrambled order, but cannot help expander-like graphs, where
+    the identity order avoids the runtime permutation gathers).
+    """
+    n = adj.shape[0]
+    if n <= dense_threshold:
+        return jnp.asarray(adj, jnp.float32)
+    perm = inv_perm = None
+    if reorder:
+        from gptst_tpu.graph.partition import rcm_order
+
+        p = rcm_order(adj)
+        inv = np.empty_like(p)
+        inv[p] = np.arange(n)
+        rows, cols = np.nonzero(adj)
+        if (_count_blocks(inv[rows], inv[cols], tile)
+                < 0.9 * _count_blocks(rows, cols, tile)):
+            adj = adj[p][:, p]
+            perm = jnp.asarray(p, jnp.int32)
+            inv_perm = jnp.asarray(inv, jnp.int32)
+    bcsr = BlockCSR.from_dense(adj, tile=tile)
+    return SparseSupport(bcsr, bcsr.transpose(), perm, inv_perm)
+
+
+def graph_matmul(support, x: jnp.ndarray) -> jnp.ndarray:
     """support @ x over the node axis.
 
-    support: (N, N); x: (..., N, C). One MXU matmul per leading batch.
+    support: (N, N) array or `SparseSupport`; x: (..., N, C). Dense:
+    one MXU matmul per leading batch. Sparse: block-CSR Pallas SpMM
+    (leading dims fold into the feature axis inside the kernel call).
     """
+    if isinstance(support, SparseSupport):
+        if support.perm is not None:
+            x = jnp.take(x, support.perm, axis=-2)
+        out = spmm(support.bcsr, support.bcsr_t, x)
+        if support.inv_perm is not None:
+            out = jnp.take(out, support.inv_perm, axis=-2)
+        return out
     return jnp.einsum("nm,...mc->...nc", support, x)
 
 

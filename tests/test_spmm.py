@@ -65,6 +65,35 @@ def test_spmm_gradient_is_transpose():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_spmm_streaming_variant_matches_dense(monkeypatch):
+    """Force the large-N streaming-gather kernel (x in HBM, per-block
+    column DMAs). Regression: chunk overrun must not accumulate the
+    next row tile's blocks."""
+    monkeypatch.setattr(spmm_mod, "_STRIPE_VMEM_BUDGET", 1)
+    n = 300
+    adj = _graph(n, seed=9)
+    bcsr = BlockCSR.from_dense(adj, tile=32)
+    x = jax.random.normal(jax.random.PRNGKey(7), (n, 24))
+    got = spmm(bcsr, bcsr.transpose(), x)
+    want = jnp.asarray(adj) @ x
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_from_coo_matches_from_dense():
+    n = 130
+    adj = _graph(n, seed=4)
+    rows, cols = np.nonzero(adj)
+    a = BlockCSR.from_dense(adj, tile=32)
+    b = BlockCSR.from_coo(rows, cols, adj[rows, cols], n, tile=32)
+    np.testing.assert_array_equal(np.asarray(a.block_ptr),
+                                  np.asarray(b.block_ptr))
+    np.testing.assert_array_equal(np.asarray(a.block_cols),
+                                  np.asarray(b.block_cols))
+    np.testing.assert_allclose(np.asarray(a.block_vals),
+                               np.asarray(b.block_vals))
+
+
 def test_transpose_structure():
     adj = _graph(90, seed=3)
     bcsr = BlockCSR.from_dense(adj, tile=32)
