@@ -89,6 +89,10 @@ class FrameworkConfig:
     # root of reference-format conf/<MODEL>/<DATASET>.conf predictor
     # configs; empty = use the built-in dataclass defaults
     predictor_conf_root: str = ""
+    # root of reference-format data files (adjacency CSVs/pkl, prefab
+    # graph artifacts under <root>/{STGODE,STFGNN,STMGCN_demand});
+    # builders fall back to synthesis when files are absent
+    data_root: str = "./data"
     # keep the train split device-resident and gather batches on-device
     # inside the scanned step (needs scan_steps > 1); the reference
     # keeps splits wholly on the GPU (`lib/dataloader.py:92-99`)
@@ -177,22 +181,64 @@ _DATASET_DELTAS: dict[str, dict] = {
 }
 
 
+# Shared downstream [train] block from
+# `conf/GPTST_pretrain/params_predictors.conf` — applied in non-pretrain
+# modes before the per-model overrides (`lib/Params_predictor.py:6-23`).
+_DOWNSTREAM_TRAIN_DEFAULTS: dict = dict(
+    batch_size=64, epochs=100, lr_init=3e-3, lr_decay=True,
+    lr_decay_rate=0.3, lr_decay_step=(25, 50, 75), early_stop=True,
+    early_stop_patience=25, change_epoch=0, grad_norm=True,
+    max_grad_norm=5.0, debug=False, real_value=False, seed_mode=True,
+    seed=12, xavier=False, loss_func="mask_mae",
+)
+
 # Per-predictor [train] overrides from `conf/<MODEL>/*.conf`. In the
 # reference, predictor args override framework args for overlapping
 # names in non-pretrain modes (`model/Run.py:37-43`) — this table is
-# that merge, made explicit. Entries omitted where the predictor conf
-# matches the framework default (mask_mae, xavier=False).
+# that merge, made explicit (full transcription of every shipped
+# conf's [train] section).
 PREDICTOR_TRAIN_DEFAULTS: dict[str, dict] = {
-    "STSGCN": {"loss_func": "mask_huber"},
-    "STFGNN": {"loss_func": "mask_huber"},
-    "STGODE": {"loss_func": "mask_huber", "xavier": True},
-    "ASTGCN": {"xavier": True},
+    "STGCN": dict(seed_mode=True, xavier=False, loss_func="mask_mae"),
+    "TGCN": dict(seed_mode=True, xavier=False, loss_func="mask_mae"),
+    "MSDR": dict(seed_mode=True, xavier=False, loss_func="mask_mae"),
+    "STMGCN": dict(seed_mode=True, xavier=False, loss_func="mask_mae"),
+    "CCRNN": dict(seed_mode=True, xavier=False, loss_func="mask_mae"),
+    "DMVSTNET": dict(seed_mode=True, xavier=False, loss_func="mask_mae"),
+    "ST_WA": dict(seed_mode=True, xavier=False, loss_func="mask_mae"),
+    "GWN": dict(seed_mode=False, xavier=False, loss_func="mask_mae"),
+    "MTGNN": dict(seed_mode=False, xavier=False, loss_func="mask_mae"),
+    "ASTGCN": dict(seed_mode=True, xavier=True, loss_func="mask_mae"),
+    "STSGCN": dict(seed_mode=True, xavier=False, loss_func="mask_huber"),
+    "STFGNN": dict(seed_mode=False, xavier=False, loss_func="mask_huber"),
+    "STGODE": dict(seed_mode=False, xavier=True, loss_func="mask_huber"),
 }
+
+# Per-(model, dataset) seeds where `conf/<MODEL>/<DATASET>.conf` departs
+# from the rule "METR_LA -> 0, else 12".
+_PREDICTOR_SEED_EXCEPTIONS: dict[tuple[str, str], int] = {
+    ("ASTGCN", "NYC_TAXI"): 52,
+    ("GWN", "PEMS08"): 13,
+    ("ST_WA", "PEMS08"): 11,
+    ("ST_WA", "NYC_BIKE"): 0,
+    ("STSGCN", "NYC_BIKE"): 0,
+}
+
+
+def predictor_train_overrides(model: str, dataset: str) -> dict:
+    """The effective [train] namespace a predictor contributes in
+    non-pretrain modes (the `model/Run.py:37-43` merge)."""
+    out = dict(PREDICTOR_TRAIN_DEFAULTS.get(model, {}))
+    if out:
+        out["seed"] = _PREDICTOR_SEED_EXCEPTIONS.get(
+            (model, dataset), 0 if dataset == "METR_LA" else 12)
+    return out
 
 
 def default_config(dataset: str, mode: str = "ori",
                    model: str = "STGCN", **overrides) -> FrameworkConfig:
-    """Built-in defaults mirroring `conf/GPTST_pretrain/<dataset>.conf`."""
+    """Built-in defaults mirroring `conf/GPTST_pretrain/<dataset>.conf`
+    plus, for non-pretrain modes, the shared downstream train block and
+    the per-model conf overrides."""
     spec = get_dataset_spec(dataset)
     base = dict(
         dataset=dataset, mode=mode, model=model,
@@ -203,6 +249,7 @@ def default_config(dataset: str, mode: str = "ori",
     )
     base.update(_DATASET_DELTAS[dataset])
     if mode != "pretrain":
-        base.update(PREDICTOR_TRAIN_DEFAULTS.get(model, {}))
+        base.update(_DOWNSTREAM_TRAIN_DEFAULTS)
+        base.update(predictor_train_overrides(model, dataset))
     base.update(overrides)
     return FrameworkConfig(**base)

@@ -58,6 +58,29 @@ class MinMax11Scaler:
         return ((x + 1.0) / 2.0) * (self.max - self.min) + self.min
 
 
+@dataclasses.dataclass(frozen=True)
+class ColumnMinMaxScaler:
+    """Per-column min-max (`lib/normalization.py:65-87`, the 'cmax'
+    normalizer option): min/max are arrays over the spatial axis;
+    zero-range columns scale by 1."""
+
+    min: np.ndarray
+    min_max: np.ndarray
+
+    @classmethod
+    def fit(cls, x) -> "ColumnMinMaxScaler":
+        lo = np.asarray(x).min(axis=0)
+        rng = np.asarray(x).max(axis=0) - lo
+        rng = np.where(rng == 0, 1.0, rng)
+        return cls(min=lo, min_max=rng)
+
+    def transform(self, x):
+        return (x - self.min) / self.min_max
+
+    def inverse_transform(self, x):
+        return x * self.min_max + self.min
+
+
 def fit_standard_scaler(x: np.ndarray) -> StandardScaler:
     std = float(x.std())
     # guard constant channels (e.g. the weekday channel of a series
@@ -71,9 +94,11 @@ def fit_scaler(x: np.ndarray, normalizer: str = "std"):
     if normalizer == "std":
         return fit_standard_scaler(x)
     if normalizer == "max01":
-        return MinMax01Scaler(minimum=float(x.min()), maximum=float(x.max()))
+        return MinMax01Scaler(min=float(x.min()), max=float(x.max()))
     if normalizer == "max11":
-        return MinMax11Scaler(minimum=float(x.min()), maximum=float(x.max()))
+        return MinMax11Scaler(min=float(x.min()), max=float(x.max()))
+    if normalizer == "cmax":
+        return ColumnMinMaxScaler.fit(x)
     if normalizer in ("None", "none", None):
         return NScaler()
     raise ValueError(f"unknown normalizer {normalizer!r}")

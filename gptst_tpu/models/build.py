@@ -25,12 +25,19 @@ from gptst_tpu.graph.artifacts import (
     cheb_poly_stack, random_sensor_graph, scaled_laplacian,
 )
 from gptst_tpu.models.api import ModelOutput
+from gptst_tpu.ops.graph_conv import make_support
 
 
 def load_base_adjacency(cfg: FrameworkConfig, seed: int = 0) -> np.ndarray:
-    """The raw sensor graph. Real distance CSVs are not shipped with the
-    reference repo; fall back to a synthetic sparse sensor graph with
-    matching node count."""
+    """The raw sensor graph: real files under `cfg.data_root` when
+    present (per-dataset dispatch of `model/STGCN/args.py:78-86` —
+    METR_LA adj_mx.pkl / NYC dense CSV / edge-list CSV), otherwise a
+    synthetic sparse sensor graph with matching node count."""
+    from gptst_tpu.graph.io import resolve_adjacency
+
+    real = resolve_adjacency(cfg.data_root, cfg.dataset, cfg.num_nodes)
+    if real is not None:
+        return real
     return random_sensor_graph(cfg.num_nodes, avg_degree=6, seed=seed)
 
 
@@ -195,7 +202,7 @@ def _build_tgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     from gptst_tpu.models.predictors.tgcn import TGCN, TGCNConfig
 
     pcfg = make_predictor_config(TGCNConfig, cfg, num_nodes=cfg.num_nodes)
-    support = jnp.asarray(sym_adj(adj))
+    support = make_support(sym_adj(adj))
     model = TGCN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
                  horizon=cfg.horizon)
 
@@ -219,15 +226,25 @@ def _build_stgode(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     )
 
     pcfg = make_predictor_config(STGODEConfig, cfg, num_nodes=cfg.num_nodes)
-    spec = get_dataset_spec(cfg.dataset)
-    spd = (24 * 60) // spec.interval
-    raw = load_raw_series(cfg.dataset)[:, : cfg.num_nodes, 0]
-    mean, std = raw.mean(), max(raw.std(), 1e-8)
-    a_se = cached_artifact(
-        "./.gptst_cache", f"stgode_dtw_{cfg.dataset}_{cfg.num_nodes}",
-        [raw[:1000]],
-        lambda: stgode_dtw_graph((raw - mean) / std, steps_per_day=spd))
-    adj_sp = jnp.asarray(stgode_normalized_adj(adj))
+    # prefer the shipped distance prefabs
+    # (`data/STGODE/<ds>/<ds>_{dtw,spatial}_distance.npy`,
+    # `model/STGODE/args.py:57-125`); synthesize via banded DTW when absent
+    from gptst_tpu.graph.io import load_stgode_prefabs
+
+    prefab = load_stgode_prefabs(cfg.data_root, cfg.dataset)
+    if prefab is not None:
+        a_se, a_sp = prefab
+    else:
+        spec = get_dataset_spec(cfg.dataset)
+        spd = (24 * 60) // spec.interval
+        raw = load_raw_series(cfg.dataset)[:, : cfg.num_nodes, 0]
+        mean, std = raw.mean(), max(raw.std(), 1e-8)
+        a_se = cached_artifact(
+            "./.gptst_cache", f"stgode_dtw_{cfg.dataset}_{cfg.num_nodes}",
+            [raw[:1000]],
+            lambda: stgode_dtw_graph((raw - mean) / std, steps_per_day=spd))
+        a_sp = adj
+    adj_sp = jnp.asarray(stgode_normalized_adj(a_sp))
     adj_se = jnp.asarray(stgode_normalized_adj(a_se))
     model = STGODE(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
                    horizon=cfg.horizon, lag=cfg.lag)
@@ -252,16 +269,24 @@ def _build_stfgnn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     )
 
     pcfg = make_predictor_config(STFGNNConfig, cfg, num_nodes=cfg.num_nodes)
-    spec = get_dataset_spec(cfg.dataset)
-    spd = (24 * 60) // spec.interval
-    raw = load_raw_series(cfg.dataset)[:, : cfg.num_nodes, 0]
-    train_days = int((raw.shape[0] // spd) * 0.6)
-    train = raw[: max(train_days, 1) * spd]
-    a_dtw = cached_artifact(
-        "./.gptst_cache", f"stfgnn_dtw_{cfg.dataset}_{cfg.num_nodes}",
-        [raw[:1000]],
-        lambda: stfgnn_dtw_graph(train, steps_per_day=spd))
-    fusion = jnp.asarray(construct_adj_fusion(adj, a_dtw, pcfg.strides))
+    # prefer the shipped fusion-graph cache — the reference caches the
+    # FINAL 4N x 4N fusion adjacency, not the N x N DTW graph
+    # (`data/STFGNN/<ds>/<ds>_adj_mx.npy`, `model/STFGNN/args.py:196-207`)
+    from gptst_tpu.graph.io import load_stfgnn_fusion_prefab
+
+    fusion_np = load_stfgnn_fusion_prefab(cfg.data_root, cfg.dataset)
+    if fusion_np is None or fusion_np.shape[0] != pcfg.strides * cfg.num_nodes:
+        spec = get_dataset_spec(cfg.dataset)
+        spd = (24 * 60) // spec.interval
+        raw = load_raw_series(cfg.dataset)[:, : cfg.num_nodes, 0]
+        train_days = int((raw.shape[0] // spd) * 0.6)
+        train = raw[: max(train_days, 1) * spd]
+        a_dtw = cached_artifact(
+            "./.gptst_cache", f"stfgnn_dtw_{cfg.dataset}_{cfg.num_nodes}",
+            [raw[:1000]],
+            lambda: stfgnn_dtw_graph(train, steps_per_day=spd))
+        fusion_np = construct_adj_fusion(adj, a_dtw, pcfg.strides)
+    fusion = jnp.asarray(fusion_np)
     model = STFGNN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
                    horizon=cfg.horizon, lag=cfg.lag)
 
@@ -329,12 +354,22 @@ def _build_stmgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     from gptst_tpu.models.predictors.stmgcn import STMGCN, STMGCNConfig
 
     pcfg = make_predictor_config(STMGCNConfig, cfg, num_nodes=cfg.num_nodes)
-    raw = load_raw_series(cfg.dataset)[:, : cfg.num_nodes]
-    train, _, _ = split_by_ratio(raw, cfg.val_ratio, cfg.test_ratio)
-    stacks = jnp.asarray(np.stack([
-        cheb_poly_stack_rescaled(adj, pcfg.cheb_k),
-        cheb_poly_stack_rescaled(pearson_graph(train), pcfg.cheb_k),
-    ]))
+    # prefer the shipped dis/pcc prefab graphs
+    # (`data/STMGCN_demand/{dis,pcc}_{bb,tt}.csv`,
+    # `model/STMGCN_demand/args.py:35-53`)
+    from gptst_tpu.graph.io import load_stmgcn_prefabs
+
+    prefab = load_stmgcn_prefabs(cfg.data_root, cfg.dataset)
+    if prefab is not None:
+        dis_graph, pcc_graph = prefab
+    else:
+        raw = load_raw_series(cfg.dataset)[:, : cfg.num_nodes]
+        train, _, _ = split_by_ratio(raw, cfg.val_ratio, cfg.test_ratio)
+        dis_graph, pcc_graph = adj, pearson_graph(train)
+    stacks = jnp.asarray(np.nan_to_num(np.stack([
+        cheb_poly_stack_rescaled(dis_graph, pcfg.cheb_k),
+        cheb_poly_stack_rescaled(pcc_graph, pcfg.cheb_k),
+    ])))
     model = STMGCN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim)
 
     def init_fn(rng):
@@ -354,7 +389,8 @@ def _build_msdr(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     )
 
     pcfg = make_predictor_config(MSDRConfig, cfg, num_nodes=cfg.num_nodes)
-    supports = jnp.asarray(np.stack(dual_random_walk_supports(adj)))
+    supports = tuple(make_support(s)
+                     for s in dual_random_walk_supports(adj))
     model = MSDR(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
                  horizon=cfg.horizon)
 
@@ -453,8 +489,16 @@ def _build_gwn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     from gptst_tpu.models.predictors.gwn import GWN, GWNConfig
 
     pcfg = make_predictor_config(GWNConfig, cfg, num_nodes=cfg.num_nodes)
-    # conf/GWN/*: aptonly=True -> no static supports, adaptive adj only
-    supports = ()
+    # conf/GWN/*: aptonly=True -> no static supports, adaptive adj only.
+    # With aptonly=False, doubletransition supports (`GWN.py:299-313`)
+    # take the dense/block-sparse path picked by node count.
+    if pcfg.aptonly:
+        supports = ()
+    else:
+        from gptst_tpu.graph.artifacts import asym_adj
+
+        supports = (make_support(asym_adj(adj)),
+                    make_support(asym_adj(adj.T)))
     model = GWN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
                 horizon=cfg.horizon)
 

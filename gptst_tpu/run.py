@@ -40,7 +40,7 @@ def parse_args(argv: Optional[list[str]] = None):
     p.add_argument("-model", default="STGCN")
     p.add_argument("-num_steps", type=int, default=None,
                    help="truncate dataset length (synthetic fallback)")
-    p.add_argument("-data_root", type=str, default=None)
+    # -data_root (npz files + graph prefabs) is a FrameworkConfig field
     p.add_argument("-device_seed", type=int, default=None)
     p.add_argument("-profile_dir", type=str, default=None,
                    help="write a jax.profiler trace here during training")
@@ -115,7 +115,7 @@ def main(argv: Optional[list[str]] = None) -> int:
                 cfg.dataset, cfg.mode, cfg.model, jax.devices())
 
     init_determinism(cfg.seed, cfg.seed_mode)
-    ds = build_dataset(cfg, data_root=ns.data_root, num_steps=ns.num_steps,
+    ds = build_dataset(cfg, data_root=cfg.data_root, num_steps=ns.num_steps,
                        seed=cfg.seed)
 
     pretrain_params = None
