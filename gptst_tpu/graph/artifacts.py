@@ -21,10 +21,14 @@ def sym_norm_laplacian(adj: np.ndarray) -> np.ndarray:
     """D^-1/2 (D - A) D^-1/2 with zero-degree rows left unscaled.
 
     Matches the loop at `model/STGCN/args.py:7-26` (entries i,j are
-    scaled only when both degrees are positive).
+    scaled only when both degrees are positive). Reference quirk kept:
+    the diagonal is OVERWRITTEN with the degree (`L = -W;
+    L[diag] = d`), so self-loop weights do not subtract from it —
+    visible on graphs with self loops (e.g. sym_adj outputs).
     """
     d = adj.sum(axis=1)
-    lap = np.diag(d) - adj
+    lap = -adj.astype(np.float64, copy=True)
+    np.fill_diagonal(lap, d)
     pos = d > 0
     scale = np.zeros_like(d)
     scale[pos] = 1.0 / np.sqrt(d[pos])
