@@ -97,6 +97,9 @@ class FrameworkConfig:
     # inside the scanned step (needs scan_steps > 1); the reference
     # keeps splits wholly on the GPU (`lib/dataloader.py:92-99`)
     device_data: bool = True
+    # periodic resumable checkpoint every N epochs (0 = off); restored
+    # by `-resume True` (SURVEY §5: checkpoint-every-N + auto-resume)
+    ckpt_every_epochs: int = 0
 
     def replace(self, **kw) -> "FrameworkConfig":
         return dataclasses.replace(self, **kw)

@@ -40,6 +40,9 @@ def parse_args(argv: Optional[list[str]] = None):
     p.add_argument("-model", default="STGCN")
     p.add_argument("-num_steps", type=int, default=None,
                    help="truncate dataset length (synthetic fallback)")
+    p.add_argument("-resume", default="False",
+                   help="resume from <log_dir>/<dataset>/full_ckpt "
+                        "(written every -ckpt_every_epochs epochs)")
     # -data_root (npz files + graph prefabs) is a FrameworkConfig field
     p.add_argument("-device_seed", type=int, default=None)
     p.add_argument("-profile_dir", type=str, default=None,
@@ -137,8 +140,9 @@ def main(argv: Optional[list[str]] = None) -> int:
         tr.test()
         return 0
 
+    resume = str(ns.resume).strip().lower() in ("true", "1", "yes")
     with profile_trace(ns.profile_dir):
-        result = tr.train()
+        result = tr.train(resume=resume)
     if cfg.mode == "pretrain":
         tr.save_checkpoint(_pretrain_ckpt_path(cfg, save=True))
     logger.info("best loss: %.6f  avg MAE: %.4f", result["best_loss"],

@@ -234,18 +234,30 @@ class Trainer:
         self.logger.info("**********Val Epoch %d: average Loss: %.6f", epoch, val)
         return val
 
-    def train(self) -> dict:
+    def train(self, resume: bool = False) -> dict:
         best_loss = float("inf")
         best_params = self.params
         not_improved = 0
-        rng = jax.random.PRNGKey(self.seed)
+        start_epoch = 1
+        if resume and self.log_dir:
+            ckpt = os.path.join(self.log_dir, "full_ckpt")
+            if os.path.exists(ckpt):
+                start_epoch = self.restore_full_checkpoint(ckpt)
+                best_loss = self._best_loss
+                best_params = self._best_params
+                not_improved = self._not_improved
+                self.logger.info("Resumed from %s at epoch %d",
+                                 ckpt, start_epoch)
         history: list[float] = []
         start = time.time()
         val_split = "val" if self.dataset.x_val.shape[0] > 0 else "test"
 
         timer = StepTimer(warmup=1)
-        for epoch in range(1, self.cfg.epochs + 1):
-            rng, ep_rng = jax.random.split(rng)
+        for epoch in range(start_epoch, self.cfg.epochs + 1):
+            # per-epoch rng derived from (seed, epoch), not a sequential
+            # split chain, so a resumed run reproduces the uninterrupted
+            # trajectory exactly
+            ep_rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
             train_loss = self.train_epoch(epoch, ep_rng)
             jax.block_until_ready(jax.tree_util.tree_leaves(self.params)[0])
             dt = timer.tick(self.steps_per_epoch * self.cfg.batch_size)
@@ -278,6 +290,14 @@ class Trainer:
                     "No improvement for %d epochs; stopping.",
                     self.cfg.early_stop_patience)
                 break
+            if (self.cfg.ckpt_every_epochs and self.log_dir
+                    and epoch % self.cfg.ckpt_every_epochs == 0):
+                self._best_loss = best_loss
+                self._best_params = best_params
+                self._not_improved = not_improved
+                self.save_full_checkpoint(
+                    os.path.join(self.log_dir, "full_ckpt"), epoch)
+                self.logger.info("Periodic checkpoint at epoch %d", epoch)
 
         self.logger.info(
             "Total training time: %.4f min, best loss: %.6f",
@@ -350,31 +370,47 @@ class Trainer:
         self.params = ckpt.restore(os.path.abspath(path), item=self.params)
 
     def save_full_checkpoint(self, path: str, epoch: int) -> None:
-        """Resumable training state: params + optimizer + progress
-        (the reference defines but never calls an equivalent,
-        `BasicTrainer.py:200-207`; SURVEY.md §5 build plan)."""
+        """Resumable training state: params + optimizer + progress +
+        best-model bookkeeping (the reference defines but never calls
+        an equivalent, `BasicTrainer.py:200-207`; SURVEY.md §5)."""
         import orbax.checkpoint as ocp
 
         state = {
             "params": self.params,
             "opt_state": self.opt_state,
-            "progress": {"epoch": epoch, "batch_seen": self.batch_seen},
+            "best_params": getattr(self, "_best_params", self.params),
+            "progress": {
+                "epoch": epoch, "batch_seen": self.batch_seen,
+                "best_loss": getattr(self, "_best_loss", float("inf")),
+                "not_improved": getattr(self, "_not_improved", 0),
+            },
         }
         ocp.PyTreeCheckpointer().save(os.path.abspath(path), state,
                                       force=True)
 
     def restore_full_checkpoint(self, path: str) -> int:
-        """Restore params/optimizer/progress; returns the next epoch."""
+        """Restore params/optimizer/progress; returns the next epoch.
+        On multi-host deployments all processes restore the same step
+        before any collective runs."""
         import orbax.checkpoint as ocp
 
         template = {
             "params": self.params,
             "opt_state": self.opt_state,
-            "progress": {"epoch": 0, "batch_seen": 0},
+            "best_params": self.params,
+            "progress": {"epoch": 0, "batch_seen": 0,
+                         "best_loss": float("inf"), "not_improved": 0},
         }
         state = ocp.PyTreeCheckpointer().restore(
             os.path.abspath(path), item=template)
         self.params = state["params"]
         self.opt_state = state["opt_state"]
+        self._best_params = state["best_params"]
         self.batch_seen = int(state["progress"]["batch_seen"])
+        self._best_loss = float(state["progress"]["best_loss"])
+        self._not_improved = int(state["progress"]["not_improved"])
+        if jax.process_count() > 1:  # barrier before resuming collectives
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("gptst_resume")
         return int(state["progress"]["epoch"]) + 1
