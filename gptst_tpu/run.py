@@ -85,6 +85,23 @@ def _pretrain_ckpt_path(cfg, save: bool) -> str:
     return os.path.abspath(os.path.join(cfg.log_dir, cfg.dataset, name))
 
 
+def checkpoint_is_enhanced(path: str) -> bool:
+    """True if `path` holds an eval-mode (enhanced) best_model — its
+    param tree is {'head', 'predictor'} (`models/build.py:149-153`)
+    rather than a bare predictor tree. The reference's `-mode test` is
+    broken for eval-trained models (`model/Model.py:40-44` never builds
+    the pretrain branch when mode=='test', so `forward_pretrain`
+    crashes); we fix it by rebuilding the enhanced forward — which
+    needs the pretrain checkpoint — whenever the saved tree says so."""
+    import orbax.checkpoint as ocp
+
+    try:
+        raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    except Exception:
+        return False
+    return isinstance(raw, dict) and "head" in raw and "predictor" in raw
+
+
 def load_pretrain_params(cfg, scaler_zeros: float):
     """Restore pretrain params for eval mode (`model/Model.py:95-98`)."""
     import jax
@@ -121,12 +138,22 @@ def main(argv: Optional[list[str]] = None) -> int:
     ds = build_dataset(cfg, data_root=cfg.data_root, num_steps=ns.num_steps,
                        seed=cfg.seed)
 
+    # `-mode test` of an eval-trained model must rebuild the enhanced
+    # forward (frozen encoder + fusion + predictor); detect it from the
+    # saved tree structure (the reference crashes here, see
+    # checkpoint_is_enhanced).
+    build_cfg = cfg
+    if cfg.mode == "test" and checkpoint_is_enhanced(
+            os.path.join(cfg.log_dir, cfg.dataset, "best_model")):
+        build_cfg = cfg.replace(mode="eval")
+
     pretrain_params = None
-    if cfg.mode in ("eval",):
+    if build_cfg.mode == "eval":
         pretrain_params = load_pretrain_params(cfg, ds.scaler_zeros)
 
     init_fn, forward = build_model(
-        cfg, scaler_zeros=ds.scaler_zeros, pretrain_params=pretrain_params)
+        build_cfg, scaler_zeros=ds.scaler_zeros,
+        pretrain_params=pretrain_params)
     params = init_fn(jax.random.PRNGKey(cfg.seed))
     count_parameters(params, logger)
 

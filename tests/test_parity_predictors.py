@@ -782,3 +782,80 @@ def test_stwa_forward_parity():
     got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(got, want.reshape(got.shape),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_stwa_dynamic_forward_parity(monkeypatch):
+    """ST-WA with dynamic=True — the shipped-config default
+    (`conf/ST-WA/*.conf` sets dynamic=True) — vs
+    `model/ST_WA/ST_WA.py:6-9` (reparameterize), `:51-75`
+    (mu/logvar estimators), `:117-120` (per-layer latent memories) and
+    `:166-189` (dynamic ParameterGenerator MLPs). The stochastic path
+    is made deterministic by pinning eps=0 on BOTH sides (zero-noise
+    transplant), so z = mu + layer_mu exactly and the generated
+    per-(batch,node) projection weights must agree."""
+    from ST_WA.ST_WA import STWA as RefSTWA
+
+    from gptst_tpu.models.predictors.stwa import STWA, STWAConfig
+
+    n, ch, mem = 6, 16, 16
+    ns = argparse.Namespace(
+        adj_mx=[_graph(n).astype("float64")], num_nodes=n, out_dim=1,
+        channels=ch, dynamic=True, horizon=12, lag=12, memory_size=mem)
+    ref = RefSTWA(ns, torch.device("cpu"), dim_in=1)
+
+    cfg = STWAConfig(num_nodes=n, channels=ch, dynamic=True,
+                     memory_size=mem)
+    model = STWA(cfg=cfg, dim_in=1, dim_out=1, horizon=12, lag=12)
+    x = np.random.default_rng(23).normal(
+        size=(3, 12, n, 1)).astype(np.float32)
+    params = jax.tree.map(
+        np.asarray,
+        model.init(jax.random.PRNGKey(0), jnp.asarray(x)))["params"]
+
+    def mlp3(seq, name):
+        # torch Sequential(Linear, act, Linear, act, Linear) -> _mlp names
+        return {f"{name}_{i}": _lin(seq[2 * i]) for i in range(3)}
+
+    def pgen_dyn(pg):
+        p = mlp3(pg.weight_generator, "wgen")
+        p.update(mlp3(pg.bias_generator, "bgen"))
+        return p
+
+    def att(a):
+        return {"projection1": _lin(a.projection1),
+                "projection2": _lin(a.projection2)}
+
+    params["start_fc"] = _lin(ref.start_fc)
+    for i in range(3):
+        params[f"mu_est_{i}"] = _lin(ref.mu_estimator[2 * i])
+        params[f"logvar_est_{i}"] = _lin(ref.logvar_estimator[2 * i])
+    for li, layer in enumerate(ref.layers):
+        params[f"layer{li}"] = {
+            "proxies": layer.proxies.detach().numpy(),
+            "mu": layer.mu.detach().numpy(),
+            "logvar": layer.logvar.detach().numpy(),
+            "tpg0": pgen_dyn(layer.temporal_parameter_generators[0]),
+            "tpg1": pgen_dyn(layer.temporal_parameter_generators[1]),
+            "spg0": pgen_dyn(layer.spatial_parameter_generators[0]),
+            "spg1": pgen_dyn(layer.spatial_parameter_generators[1]),
+            "temporal_att": att(layer.temporal_att),
+            "spatial_att": att(layer.spatial_att),
+            "aggregator_0": _lin(layer.aggregator[0]),
+            "aggregator_1": _lin(layer.aggregator[2]),
+        }
+        params[f"skip{li}"] = _lin(ref.skip_layers[li])
+    params["proj1"] = _lin(ref.projections[0])
+    params["proj2"] = _lin(ref.projections[2])
+
+    # pin eps = 0 on both sides (init already done, transplant complete)
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda t, **kw: torch.zeros_like(t))
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want.reshape(got.shape),
+                               rtol=2e-3, atol=2e-3)
