@@ -2,13 +2,18 @@
 
 Runs the full jitted training step (forward + masked-MAE + KL + grads +
 Adam) at reference scale (N=170 nodes, B=64, T=12, hidden 64) on the
-default JAX backend and prints ONE JSON line:
+default JAX backend, in BOTH precision modes (f32 default and the
+bfloat16 mixed-precision recipe, `train/step.py:make_loss_terms`), and
+prints ONE JSON line:
 
-  {"metric": ..., "value": samples/s, "unit": "samples/s", "vs_baseline": r}
+  {"metric": ..., "value": samples/s, "unit": "samples/s",
+   "vs_baseline": r, "f32_samples_per_s": ..., "bf16_samples_per_s": ...}
 
-The reference publishes no throughput numbers (BASELINE.md §Throughput);
+The headline value is the bf16 path — the framework's fast mode, whose
+accuracy drift vs f32 is bounded by `tests/test_bf16_drift.py`. The
+reference publishes no throughput numbers (BASELINE.md §Throughput);
 `vs_baseline` is measured against the recorded first-round TPU number in
-BASELINE.json["recorded"] when present, else 1.0.
+BASELINE.json["recorded"] (an f32 measurement) when present, else 1.0.
 """
 
 from __future__ import annotations
@@ -18,18 +23,20 @@ import sys
 import time
 
 
-def main() -> None:
+def measure(cfg, k: int = 8, iters: int = 30, windows: int = 8) -> float:
+    """Best-window samples/s of the scan-fused train step under `cfg`."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from gptst_tpu.config import default_config
     from gptst_tpu.models.build import build_model
     from gptst_tpu.train.loss import build_loss
-    from gptst_tpu.train.step import make_loss_terms
+    from gptst_tpu.train.step import make_loss_terms, make_scanned_train_step
 
-    cfg = default_config("PEMS08", mode="pretrain", model="STGCN")
-    cfg = cfg.replace(batch_size=64, change_epoch=1, log_dir=None)
+    if cfg.compute_dtype == "bfloat16":
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
+    else:
+        jax.config.update("jax_default_matmul_precision", "default")
 
     init_fn, forward = build_model(cfg, scaler_zeros=0.0)
     params = init_fn(jax.random.PRNGKey(0))
@@ -38,10 +45,6 @@ def main() -> None:
         optax.adam(cfg.lr_init))
     opt_state = optimizer.init(params)
     loss_fn = build_loss(cfg.loss_func, 0.0, 1.0, cfg.mape_thresh, True)
-    # the Trainer's scan-fused dispatch path (cfg.scan_steps)
-    from gptst_tpu.train.step import make_scanned_train_step
-
-    k = 8
     multi = jax.jit(make_scanned_train_step(
         make_loss_terms(forward, loss_fn, cfg), optimizer),
         donate_argnums=(0, 1))
@@ -53,49 +56,82 @@ def main() -> None:
     sc = jnp.asarray(0, jnp.int32)
     rngs = jax.random.split(jax.random.PRNGKey(2), k)
 
-    # warmup / compile
-    for _ in range(3):
+    for _ in range(3):  # warmup / compile
         params, opt_state, sc, totals, flows = multi(
             params, opt_state, xs, xs, rngs, epoch, sc)
     jax.block_until_ready(params)
 
-    # best-of-8 windows: the benched chip is shared/tunneled and
+    # best-of-N windows: the benched chip is shared/tunneled and
     # window-to-window variance is large; best approximates the
     # uncontended rate
-    iters = 30
     best = float("inf")
-    for _ in range(8):
+    for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
             params, opt_state, sc, totals, flows = multi(
                 params, opt_state, xs, xs, rngs, epoch, sc)
         jax.block_until_ready(params)
         best = min(best, (time.perf_counter() - t0) / (iters * k))
+    return cfg.batch_size / best
 
-    steps_per_s = 1.0 / best
-    samples_per_s = steps_per_s * cfg.batch_size
 
-    # --- MFU context (VERDICT r1 weak item 3) ----------------------------
-    # XLA's cost model gives flops per dispatch (k optimizer steps); MFU
-    # is quoted against the bf16 MXU peak — TPU default matmul precision
-    # runs f32 operands through bf16 MXU passes. (XLA's 'bytes accessed'
-    # counts every HLO buffer access, not HBM traffic, and its
-    # optimal_seconds is negative here — neither usable for a roofline.)
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gptst_tpu.config import default_config
+    from gptst_tpu.models.build import build_model
+    from gptst_tpu.train.loss import build_loss
+    from gptst_tpu.train.step import make_loss_terms, make_train_step
+
+    cfg = default_config("PEMS08", mode="pretrain", model="STGCN")
+    cfg = cfg.replace(batch_size=64, change_epoch=1, log_dir=None)
+
+    f32_sps = measure(cfg.replace(compute_dtype="float32"))
+    bf16_sps = measure(cfg.replace(compute_dtype="bfloat16"))
+    samples_per_s = bf16_sps
+    steps_per_s = samples_per_s / cfg.batch_size
+
+    # --- MFU context (VERDICT r1 weak item 3; ADVICE r2 high) ------------
+    # Per-step flops come from lowering a SINGLE un-scanned train step:
+    # XLA's cost model counts a lax.scan body once regardless of trip
+    # count, so dividing the scanned executable's flops by k under-counts
+    # ~k-fold. MFU is quoted against the bf16 MXU peak (TPU default
+    # matmul precision runs f32 operands through bf16 MXU passes) and
+    # omitted when the implied utilization exceeds 1.0 — on this
+    # tunneled backend either the cost model or the timing would then be
+    # unreliable, and a >1 "MFU" is worse than none.
     PEAKS = {  # device_kind -> bf16 TFLOP/s
         "TPU v5 lite": 197.0, "TPU v5e": 197.0,
         "TPU v4": 275.0, "TPU v6 lite": 918.0,
     }
     mfu = gflops_step = None
     try:
-        ca = multi.lower(params, opt_state, xs, xs, rngs, epoch,
-                         sc).compile().cost_analysis()
+        bcfg = cfg.replace(compute_dtype="bfloat16")
+        init_fn, forward = build_model(bcfg, scaler_zeros=0.0)
+        params = init_fn(jax.random.PRNGKey(0))
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(cfg.lr_init))
+        opt_state = optimizer.init(params)
+        loss_fn = build_loss(cfg.loss_func, 0.0, 1.0, cfg.mape_thresh, True)
+        single = jax.jit(make_train_step(
+            make_loss_terms(forward, loss_fn, bcfg), optimizer))
+        x1 = jnp.zeros((cfg.batch_size, cfg.lag, cfg.num_nodes,
+                        cfg.input_base_dim + 2), jnp.float32)
+        ca = single.lower(params, opt_state, x1, x1, jax.random.PRNGKey(2),
+                          jnp.asarray(5, jnp.int32),
+                          jnp.asarray(0, jnp.int32)).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops_step = float(ca.get("flops", 0.0)) / k
+        flops_step = float(ca.get("flops", 0.0))
         peak_tf = PEAKS.get(jax.devices()[0].device_kind)
-        if peak_tf and flops_step:
+        if peak_tf and flops_step > 0:
+            implied_util = (flops_step * steps_per_s) / (peak_tf * 1e12)
             gflops_step = flops_step / 1e9
-            mfu = (flops_step * steps_per_s) / (peak_tf * 1e12)
+            if 0 < implied_util <= 1.0:
+                mfu = implied_util
     except Exception:
         pass  # cost model unavailable on this backend; report throughput only
 
@@ -109,14 +145,17 @@ def main() -> None:
     vs = samples_per_s / baseline if baseline else 1.0
 
     out = {
-        "metric": "gptst_pretrain_step_throughput_pems08_b64",
+        "metric": "gptst_pretrain_step_throughput_pems08_b64_bf16",
         "value": round(samples_per_s, 2),
         "unit": "samples/s",
         "vs_baseline": round(vs, 4),
+        "f32_samples_per_s": round(f32_sps, 2),
+        "bf16_samples_per_s": round(bf16_sps, 2),
     }
+    if gflops_step is not None:
+        out["step_gflops"] = round(gflops_step, 2)
     if mfu is not None:
         out["mfu_bf16_peak"] = round(mfu, 4)
-        out["step_gflops"] = round(gflops_step, 2)
     print(json.dumps(out))
 
 

@@ -100,6 +100,16 @@ class FrameworkConfig:
     # periodic resumable checkpoint every N epochs (0 = off); restored
     # by `-resume True` (SURVEY §5: checkpoint-every-N + auto-resume)
     ckpt_every_epochs: int = 0
+    # multi-chip: build a ('data','graph') mesh over all visible devices
+    # when more than one is present (batch over 'data', node axis +
+    # node-indexed tables over 'graph'); graph_axis_size 0 = auto
+    # (`parallel/mesh.py:choose_mesh_shape`)
+    use_mesh: bool = True
+    graph_axis_size: int = 0
+    # CLI `--flag` overrides of predictor-config fields, as ((name,
+    # raw-string), ...) — the reference's double-hyphen surface
+    # (`readme.md:78-82`); applied by `models/build.make_predictor_config`
+    predictor_overrides: Sequence = ()
 
     def replace(self, **kw) -> "FrameworkConfig":
         return dataclasses.replace(self, **kw)

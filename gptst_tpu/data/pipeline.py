@@ -163,8 +163,15 @@ def build_dataset(cfg: FrameworkConfig, data_root: str | None = None,
     x_val, y_val = add_window_horizon(val, cfg.lag, cfg.horizon)
     x_test, y_test = add_window_horizon(test, cfg.lag, cfg.horizon)
 
+    if cfg.column_wise and cfg.mode in ("pretrain", "eval"):
+        # column-wise stats make scaler_zeros an (N, C) array; the mask
+        # fill (`GPTST.py:416-417`) and the reference's own pretrain
+        # configs assume a scalar — reject loudly instead of diverging
+        raise ValueError("column_wise normalization is not supported in "
+                         "pretrain/eval modes (scaler_zeros must be "
+                         "scalar)")
     s_data, s_day, s_week = fit_channel_scalers(
-        train, cfg.input_base_dim, cfg.normalizer)
+        train, cfg.input_base_dim, cfg.normalizer, cfg.column_wise)
 
     b = cfg.input_base_dim
     return STDataset(

@@ -24,6 +24,9 @@ class NScaler:
 
 @dataclasses.dataclass(frozen=True)
 class StandardScaler:
+    """Scalar stats by default; `column_wise` fitting stores (N, C)
+    arrays instead — both broadcast against (..., N, C) data."""
+
     mean: float
     std: float
 
@@ -105,19 +108,39 @@ def fit_scaler(x: np.ndarray, normalizer: str = "std"):
 
 
 def fit_channel_scalers(
-    train_data: np.ndarray, input_base_dim: int, normalizer: str = "std"
+    train_data: np.ndarray, input_base_dim: int, normalizer: str = "std",
+    column_wise: bool = False,
 ) -> tuple:
     """Fit separate scalers for (base, day, week) channel groups.
 
     Matches `lib/dataloader.py:36-54`: the base channels share one
     scalar stat; day and week channels each get their own (always
     std-scaled, as the reference does regardless of `normalizer`).
+
+    `column_wise=True` fits the base-channel stats per (node, channel)
+    column over time, mirroring the reference's intent at
+    `lib/dataloader.py:30-34` (`mean/std(axis=0, keepdims=True)`). The
+    reference's own branch is unrunnable on its shipped data shapes —
+    it computes stats over all D channels then transforms only the
+    base slice, a broadcast error whenever the calendar channels are
+    attached (always, `lib/load_dataset.py:4-40`) — so per-group
+    column stats are the working completion of that config surface.
+    Day/week channels keep scalar stats in both modes.
     """
     base = train_data[..., :input_base_dim]
     day = train_data[..., input_base_dim:input_base_dim + 1]
     week = train_data[..., input_base_dim + 1:input_base_dim + 2]
+    if column_wise and normalizer == "std":
+        # stats over time -> (N, C) arrays; zero-variance columns
+        # (constant sensors) scale by 1 like fit_standard_scaler
+        mean = base.mean(axis=0)
+        std = base.std(axis=0)
+        s_base = StandardScaler(mean=mean,
+                                std=np.where(std > 0, std, 1.0))
+    else:
+        s_base = fit_scaler(base, normalizer)
     return (
-        fit_scaler(base, normalizer),
+        s_base,
         fit_standard_scaler(day),
         fit_standard_scaler(week),
     )

@@ -75,6 +75,13 @@ class GraphPartition:
     # to [local block | gathered halo block] so the local SpMM is dense
     # over n_loc + halo_max columns
     local_adj: np.ndarray     # (P, n_loc, n_loc + halo_max) float32
+    # boundary-exchange (all_to_all) layout: shard p sends the local
+    # rows `send_idx[p, d, :]` to shard d; after the exchange, shard d
+    # reads its halo slot k from flat position `halo_src[d, k]` of the
+    # received (P, send_max) buffer. Only boundary nodes move — total
+    # traffic is sum(halo_size) rows vs the ring's P*(P-1)*n_loc.
+    send_idx: np.ndarray      # (P, P, send_max) int32, local row ids
+    halo_src: np.ndarray      # (P, halo_max) int32, flat recv positions
 
     @property
     def n_pad(self) -> int:
@@ -83,6 +90,10 @@ class GraphPartition:
     @property
     def halo_max(self) -> int:
         return self.halo_idx.shape[1]
+
+    @property
+    def send_max(self) -> int:
+        return self.send_idx.shape[2]
 
     def pad_features(self, x: np.ndarray) -> np.ndarray:
         """Permute the node axis (axis -2) and zero-pad to n_pad."""
@@ -142,15 +153,100 @@ def partition_graph(adj: np.ndarray, parts: int,
         local_adj[p, :, :n_loc] = rows[:, lo:hi]
         local_adj[p, :, n_loc: n_loc + len(h)] = rows[:, h]
 
+    send_idx, halo_src = _exchange_layout(halo_lists, parts, n_loc,
+                                          halo_max)
     return GraphPartition(
         perm=perm, inv_perm=inv_perm, parts=parts, n=n, n_loc=n_loc,
-        halo_idx=halo_idx, halo_size=halo_size, local_adj=local_adj)
+        halo_idx=halo_idx, halo_size=halo_size, local_adj=local_adj,
+        send_idx=send_idx, halo_src=halo_src)
+
+
+def _exchange_layout(halo_lists, parts: int, n_loc: int, halo_max: int):
+    """all_to_all exchange layout: halo ids are sorted ascending, so a
+    shard's halo is contiguous runs per owning shard. Shard o sends
+    local rows `send_idx[o, d]` to shard d; shard d reads halo slot k
+    from flat recv position `halo_src[d, k]`."""
+    counts = np.zeros((parts, parts), np.int64)   # [owner, dest]
+    for d in range(parts):
+        owners = halo_lists[d] // n_loc
+        for o, c in zip(*np.unique(owners, return_counts=True)):
+            counts[int(o), d] = int(c)
+    send_max = max(1, int(counts.max()))
+    send_idx = np.zeros((parts, parts, send_max), np.int32)
+    halo_src = np.zeros((parts, halo_max), np.int32)
+    for d in range(parts):
+        h = halo_lists[d]
+        owners = h // n_loc
+        k = 0
+        for o in np.unique(owners):
+            ids = h[owners == o]
+            send_idx[int(o), d, : len(ids)] = ids - int(o) * n_loc
+            halo_src[d, k: k + len(ids)] = (
+                int(o) * send_max + np.arange(len(ids)))
+            k += len(ids)
+    return send_idx, halo_src
+
+
+def partition_graph_coo(rows: np.ndarray, cols: np.ndarray,
+                        vals: np.ndarray, n: int,
+                        parts: int) -> GraphPartition:
+    """Edge-list variant of `partition_graph` — never materializes the
+    dense (N, N) adjacency, so partitions build for graphs far past the
+    dense-memory wall (N >= 64k). Nodes are taken in the given order
+    (identity permutation): pre-order with `rcm_order` on the pattern
+    if the input ordering is scrambled.
+    """
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals, np.float32)
+    perm = np.arange(n, dtype=np.int64)
+    n_loc = -(-n // parts)
+
+    halo_lists = []
+    shard_edges = []
+    owner = rows // n_loc
+    for p in range(parts):
+        lo = p * n_loc
+        sel = owner == p
+        r, c, v = rows[sel] - lo, cols[sel], vals[sel]
+        used = np.unique(c)
+        h = used[(used < lo) | (used >= lo + n_loc)]
+        halo_lists.append(h)
+        shard_edges.append((r, c, v))
+    halo_size = np.asarray([len(h) for h in halo_lists], np.int32)
+    halo_max = max(1, int(halo_size.max()))
+
+    halo_idx = np.zeros((parts, halo_max), np.int32)
+    local_adj = np.zeros((parts, n_loc, n_loc + halo_max), np.float32)
+    for p in range(parts):
+        lo = p * n_loc
+        h = halo_lists[p]
+        halo_idx[p, : len(h)] = h
+        halo_idx[p, len(h):] = lo
+        r, c, v = shard_edges[p]
+        # map columns: local -> [0, n_loc); halo -> n_loc + rank in h
+        is_local = (c >= lo) & (c < lo + n_loc)
+        cm = np.where(is_local, c - lo,
+                      n_loc + np.searchsorted(h, c))
+        np.add.at(local_adj[p], (r, cm), v)
+
+    send_idx, halo_src = _exchange_layout(halo_lists, parts, n_loc,
+                                          halo_max)
+    return GraphPartition(
+        perm=perm, inv_perm=perm.copy(), parts=parts, n=n, n_loc=n_loc,
+        halo_idx=halo_idx, halo_size=halo_size, local_adj=local_adj,
+        send_idx=send_idx, halo_src=halo_src)
 
 
 def partition_stats(part: GraphPartition) -> dict:
     """Diagnostics: halo fraction and local-block density per shard."""
     nnz_local = np.count_nonzero(part.local_adj[:, :, : part.n_loc])
     nnz_halo = np.count_nonzero(part.local_adj[:, :, part.n_loc:])
+    # feature rows moved per A@x, whole mesh: the halo exchange ships
+    # exactly the boundary rows; the ring circulates every shard to
+    # every other device
+    halo_rows = int(part.halo_size.sum())
+    ring_rows = part.parts * (part.parts - 1) * part.n_loc
     return {
         "parts": part.parts,
         "n_loc": part.n_loc,
@@ -159,4 +255,6 @@ def partition_stats(part: GraphPartition) -> dict:
         "halo_frac": float(part.halo_size.mean()) / max(part.n_loc, 1),
         "nnz_local": int(nnz_local),
         "nnz_halo": int(nnz_halo),
+        "halo_rows_moved": halo_rows,
+        "ring_rows_moved": ring_rows,
     }

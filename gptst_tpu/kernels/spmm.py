@@ -72,50 +72,20 @@ class BlockCSR:
         return self.n_pad // self.tile
 
     @classmethod
-    def from_dense(cls, adj: np.ndarray, tile: int = 128) -> "BlockCSR":
-        n = adj.shape[0]
-        n_pad = _round_up(n, tile)
-        a = np.zeros((n_pad, n_pad), dtype=np.float32)
-        a[:n, :n] = adj
+    def _from_blocks(cls, u_rows: np.ndarray, u_cols: np.ndarray,
+                     blocks: np.ndarray, n: int, n_pad: int,
+                     tile: int) -> "BlockCSR":
+        """Assemble from host-side unique (row, col, block) triples
+        (must be lexsorted by (row, col))."""
         rt = n_pad // tile
-        blocks = a.reshape(rt, tile, rt, tile).transpose(0, 2, 1, 3)
-        nz = np.any(blocks != 0, axis=(2, 3))        # (rt, rt)
-        rows, cols = np.nonzero(nz)
-        vals = blocks[rows, cols]                     # (nnzb, tile, tile)
-        ptr = np.zeros(rt + 1, np.int64)
-        np.add.at(ptr, rows + 1, 1)
-        ptr = np.cumsum(ptr)
-        if rows.size == 0:  # keep shapes non-empty for the kernel
-            cols = np.zeros(1, np.int64)
-            vals = np.zeros((1, tile, tile), np.float32)
-            ptr = np.concatenate([np.zeros(rt, np.int64), np.ones(1, np.int64)])
-        cols, vals = _pad_chunk(cols, vals, tile)
-        return cls(
-            block_ptr=jnp.asarray(ptr, jnp.int32),
-            block_cols=jnp.asarray(cols, jnp.int32),
-            block_vals=jnp.asarray(vals, jnp.float32),
-            n=n, n_pad=n_pad, tile=tile)
-
-    @classmethod
-    def from_coo(cls, rows: np.ndarray, cols: np.ndarray,
-                 vals: np.ndarray, n: int, tile: int = 128) -> "BlockCSR":
-        """Build from an edge list without materializing the dense
-        (N, N) adjacency — required beyond ~16k nodes."""
-        n_pad = _round_up(n, tile)
-        rt = n_pad // tile
-        br = rows // tile
-        bc = cols // tile
-        key = br.astype(np.int64) * rt + bc
-        uniq, inv = np.unique(key, return_inverse=True)
-        nnzb = uniq.size
-        blocks = np.zeros((nnzb, tile, tile), np.float32)
-        np.add.at(blocks, (inv, rows % tile, cols % tile),
-                  vals.astype(np.float32))
-        u_rows = (uniq // rt).astype(np.int64)
-        u_cols = (uniq % rt).astype(np.int64)
         ptr = np.zeros(rt + 1, np.int64)
         np.add.at(ptr, u_rows + 1, 1)
         ptr = np.cumsum(ptr)
+        if u_rows.size == 0:  # keep shapes non-empty for the kernel
+            u_cols = np.zeros(1, np.int64)
+            blocks = np.zeros((1, tile, tile), np.float32)
+            ptr = np.concatenate(
+                [np.zeros(rt, np.int64), np.ones(1, np.int64)])
         u_cols, blocks = _pad_chunk(u_cols, blocks, tile)
         return cls(
             block_ptr=jnp.asarray(ptr, jnp.int32),
@@ -123,37 +93,82 @@ class BlockCSR:
             block_vals=jnp.asarray(blocks, jnp.float32),
             n=n, n_pad=n_pad, tile=tile)
 
+    @staticmethod
+    def _coo_blocks(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+                    n_pad: int, tile: int):
+        """Edge list -> lexsorted unique block triples (host-side)."""
+        rt = n_pad // tile
+        br = rows // tile
+        bc = cols // tile
+        key = br.astype(np.int64) * rt + bc
+        uniq, inv = np.unique(key, return_inverse=True)
+        blocks = np.zeros((uniq.size, tile, tile), np.float32)
+        np.add.at(blocks, (inv, rows % tile, cols % tile),
+                  vals.astype(np.float32))
+        return (uniq // rt).astype(np.int64), (uniq % rt).astype(np.int64), \
+            blocks
+
+    @classmethod
+    def from_dense(cls, adj: np.ndarray, tile: int = 128) -> "BlockCSR":
+        n = adj.shape[0]
+        n_pad = _round_up(n, tile)
+        rows, cols = np.nonzero(adj)
+        u_rows, u_cols, blocks = cls._coo_blocks(
+            rows, cols, adj[rows, cols], n_pad, tile)
+        return cls._from_blocks(u_rows, u_cols, blocks, n, n_pad, tile)
+
+    @classmethod
+    def from_coo(cls, rows: np.ndarray, cols: np.ndarray,
+                 vals: np.ndarray, n: int, tile: int = 128) -> "BlockCSR":
+        """Build from an edge list without materializing the dense
+        (N, N) adjacency — required beyond ~16k nodes."""
+        n_pad = _round_up(n, tile)
+        u_rows, u_cols, blocks = cls._coo_blocks(rows, cols, vals,
+                                                 n_pad, tile)
+        return cls._from_blocks(u_rows, u_cols, blocks, n, n_pad, tile)
+
+    @classmethod
+    def pair_from_coo(cls, rows: np.ndarray, cols: np.ndarray,
+                      vals: np.ndarray, n: int, tile: int = 128
+                      ) -> tuple["BlockCSR", "BlockCSR"]:
+        """(A, A^T) built in one host-side pass — no device round-trip
+        (a `transpose()` on an already-uploaded BlockCSR must download
+        the blocks first, which is slow on tunneled backends)."""
+        n_pad = _round_up(n, tile)
+        u_rows, u_cols, blocks = cls._coo_blocks(rows, cols, vals,
+                                                 n_pad, tile)
+        a = cls._from_blocks(u_rows, u_cols, blocks, n, n_pad, tile)
+        order = np.lexsort((u_rows, u_cols))
+        at = cls._from_blocks(
+            u_cols[order], u_rows[order],
+            np.ascontiguousarray(blocks[order].transpose(0, 2, 1)),
+            n, n_pad, tile)
+        return a, at
+
+    @classmethod
+    def pair_from_dense(cls, adj: np.ndarray, tile: int = 128
+                        ) -> tuple["BlockCSR", "BlockCSR"]:
+        rows, cols = np.nonzero(adj)
+        return cls.pair_from_coo(rows, cols, adj[rows, cols],
+                                 adj.shape[0], tile)
+
     def transpose(self) -> "BlockCSR":
-        """Block structure of A^T (for the backward pass)."""
+        """Block structure of A^T (for the backward pass). Downloads
+        the block values — prefer `pair_from_coo`/`pair_from_dense`
+        when the host-side edge data is still at hand."""
         rt = self.row_tiles
         ptr = np.asarray(self.block_ptr)
         cols = np.asarray(self.block_cols)
         vals = np.asarray(self.block_vals)
-        entries = []  # (row=old col, col=old row, block^T)
-        for i in range(rt):
-            for b in range(ptr[i], ptr[i + 1]):
-                entries.append((int(cols[b]), i, vals[b].T))
-        entries.sort(key=lambda e: (e[0], e[1]))
-        t_ptr = [0]
-        t_cols, t_vals = [], []
-        k = 0
-        for i in range(rt):
-            while k < len(entries) and entries[k][0] == i:
-                t_cols.append(entries[k][1])
-                t_vals.append(entries[k][2])
-                k += 1
-            t_ptr.append(len(t_cols))
-        if not t_cols:
-            t_cols = [0]
-            t_vals = [np.zeros((self.tile, self.tile), np.float32)]
-            t_ptr = [0] * rt + [1]
-        t_cols, t_vals = _pad_chunk(
-            np.asarray(t_cols), np.stack(t_vals), self.tile)
-        return BlockCSR(
-            block_ptr=jnp.asarray(t_ptr, jnp.int32),
-            block_cols=jnp.asarray(t_cols, jnp.int32),
-            block_vals=jnp.asarray(t_vals, jnp.float32),
-            n=self.n, n_pad=self.n_pad, tile=self.tile)
+        nb = int(ptr[-1])
+        u_rows = np.repeat(np.arange(rt, dtype=np.int64),
+                           np.diff(ptr).astype(np.int64))
+        u_cols = cols[:nb].astype(np.int64)
+        order = np.lexsort((u_rows, u_cols))
+        return BlockCSR._from_blocks(
+            u_cols[order], u_rows[order],
+            np.ascontiguousarray(vals[:nb][order].transpose(0, 2, 1)),
+            self.n, self.n_pad, self.tile)
 
 
 # Blocks DMA'd per async copy. A lone (128,128) f32 block is 64 KiB —

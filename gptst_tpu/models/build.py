@@ -41,10 +41,38 @@ def load_base_adjacency(cfg: FrameworkConfig, seed: int = 0) -> np.ndarray:
     return random_sensor_graph(cfg.num_nodes, avg_degree=6, seed=seed)
 
 
+_PREDICTOR_CONFIGS = {
+    "STGCN": ("stgcn", "STGCNConfig"), "TGCN": ("tgcn", "TGCNConfig"),
+    "GWN": ("gwn", "GWNConfig"), "MTGNN": ("mtgnn", "MTGNNConfig"),
+    "ASTGCN": ("astgcn", "ASTGCNConfig"),
+    "STSGCN": ("stsgcn", "STSGCNConfig"),
+    "STFGNN": ("stfgnn", "STFGNNConfig"),
+    "STGODE": ("stgode", "STGODEConfig"), "ST_WA": ("stwa", "STWAConfig"),
+    "MSDR": ("msdr", "MSDRConfig"), "CCRNN": ("ccrnn", "CCRNNConfig"),
+    "STMGCN": ("stmgcn", "STMGCNConfig"),
+    "DMVSTNET": ("dmvstnet", "DMVSTNetConfig"),
+}
+
+
+def predictor_config_class(model: str):
+    """The config dataclass for a predictor, without building it (used
+    by the CLI to expose every field as a `--flag`,
+    `lib/Params_predictor.py:10` / `readme.md:78-82`)."""
+    import importlib
+
+    if model not in _PREDICTOR_CONFIGS:
+        return None
+    mod, cls = _PREDICTOR_CONFIGS[model]
+    return getattr(
+        importlib.import_module(f"gptst_tpu.models.predictors.{mod}"), cls)
+
+
 def make_predictor_config(cls, cfg: FrameworkConfig, **kw):
     """Predictor config: built-in defaults (mirroring conf/<MODEL>/*)
     optionally overridden by reference-format INI files when
-    cfg.predictor_conf_root is set (`lib/Params_predictor.py`)."""
+    cfg.predictor_conf_root is set (`lib/Params_predictor.py`), then by
+    CLI `--flag` overrides (`cfg.predictor_overrides`, the reference's
+    double-hyphen surface, `readme.md:78-82`)."""
     import dataclasses as _dc
 
     c = cls(**kw)
@@ -53,6 +81,14 @@ def make_predictor_config(cls, cfg: FrameworkConfig, **kw):
 
         ov = load_predictor_overrides(
             cfg.model, cfg.dataset, cfg.predictor_conf_root, cls)
+        if ov:
+            c = _dc.replace(c, **ov)
+    if cfg.predictor_overrides:
+        from gptst_tpu.config.predictor_ini import _coerce
+
+        fields = {f.name for f in _dc.fields(cls)}
+        ov = {k: _coerce(v, getattr(c, k))
+              for k, v in cfg.predictor_overrides if k in fields}
         if ov:
             c = _dc.replace(c, **ov)
     return c
@@ -160,17 +196,25 @@ def build_enhanced(cfg: FrameworkConfig, scaler_zeros: float,
 
 def build_model(cfg: FrameworkConfig, scaler_zeros: float = 0.0,
                 pretrain_params: Any = None,
-                adj: np.ndarray | None = None):
+                adj: np.ndarray | None = None, mesh=None):
     """Mode dispatch: pretrain -> GPTST; eval -> enhanced; ori -> bare
-    predictor. Returns (init_fn, forward_fn) in the ModelOutput contract."""
-    if cfg.mode == "pretrain":
-        return build_pretrain(cfg, scaler_zeros)
-    if cfg.mode == "eval":
-        if pretrain_params is None:
-            raise ValueError("eval mode requires pretrain_params")
-        return build_enhanced(cfg, scaler_zeros, pretrain_params, adj)
-    init_fn, apply_fn = build_predictor(cfg, adj=adj)
-    return init_fn, predictor_forward(cfg, apply_fn)
+    predictor. Returns (init_fn, forward_fn) in the ModelOutput contract.
+
+    With `mesh` (a ('data','graph') Mesh, graph axis > 1), predictor
+    graph supports are built node-sharded with explicit collectives
+    (`ops/graph_conv.make_sharded_support`); everything else relies on
+    GSPMD propagation from the operands' shardings."""
+    from gptst_tpu.ops.graph_conv import use_sharding_mesh
+
+    with use_sharding_mesh(mesh):
+        if cfg.mode == "pretrain":
+            return build_pretrain(cfg, scaler_zeros)
+        if cfg.mode == "eval":
+            if pretrain_params is None:
+                raise ValueError("eval mode requires pretrain_params")
+            return build_enhanced(cfg, scaler_zeros, pretrain_params, adj)
+        init_fn, apply_fn = build_predictor(cfg, adj=adj)
+        return init_fn, predictor_forward(cfg, apply_fn)
 
 
 # --- registrations ----------------------------------------------------------

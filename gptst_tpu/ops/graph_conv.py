@@ -20,6 +20,7 @@ cells), supports act on the N axis.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 
 import jax
@@ -27,6 +28,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from gptst_tpu.kernels.spmm import BlockCSR, spmm
+
+# Build-time sharding context: when a model is built under
+# `use_sharding_mesh(mesh)`, every `make_support` call routes graph
+# aggregation through the explicit node-sharded collective paths
+# (ring / halo exchange) on that mesh's 'graph' axis.
+_ACTIVE_MESH = None
+
+
+@contextlib.contextmanager
+def use_sharding_mesh(mesh):
+    global _ACTIVE_MESH
+    prev, _ACTIVE_MESH = _ACTIVE_MESH, mesh
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH = prev
 
 # Below this node count a dense (N, N) einsum beats the block-sparse
 # kernel outright (one MXU pass, no gather/indexing overhead).
@@ -70,8 +87,62 @@ def _count_blocks(rows: np.ndarray, cols: np.ndarray, tile: int) -> int:
     return int(np.unique(pairs).size)
 
 
+@dataclasses.dataclass(frozen=True)
+class ShardedSupport:
+    """Node-sharded aggregation over a device mesh's 'graph' axis with
+    *explicit* collectives (`gptst_tpu/parallel/halo.py`): `fn` is the
+    shard_map'd A@x (boundary all_to_all halo exchange, or the ring
+    collective matmul for halo-heavy graphs), chosen from the
+    partition's measured traffic (`graph/partition.py:partition_stats`).
+
+    `graph_matmul` pads x's node axis to `n_pad` and slices back, so
+    model code is oblivious — the same predictor trains single-device
+    dense and node-sharded across chips (SURVEY §2.5).
+    """
+
+    fn: object                # callable (..., n_pad, C) -> (..., n_pad, C)
+    n: int
+    n_pad: int
+    kind: str                 # 'halo' | 'ring'
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.n, self.n)
+
+
+def make_sharded_support(adj: np.ndarray | None, mesh,
+                         part=None) -> ShardedSupport:
+    """Partition `adj` over the mesh's 'graph' axis and pick the
+    cheaper explicit-collective path by modeled interconnect traffic:
+    boundary halo exchange when the partition is local (banded road
+    graphs after RCM ordering), the ring collective matmul otherwise.
+
+    Pass a prebuilt `GraphPartition` (`graph/partition.py`, e.g. from
+    `partition_graph_coo` for graphs too big to densify) to skip the
+    dense partitioning; the ring fallback needs the dense `adj`.
+    """
+    from gptst_tpu.graph.partition import partition_graph, partition_stats
+    from gptst_tpu.parallel.halo import make_halo_spmm, make_ring_spmm
+    from gptst_tpu.parallel.mesh import GRAPH_AXIS
+
+    parts = mesh.shape[GRAPH_AXIS]
+    if part is None:
+        # reorder=False: model node order is dataset order (node-indexed
+        # params, metrics, labels all use it); a permuted layout would
+        # need cross-shard gathers on every call
+        part = partition_graph(adj, parts, reorder=False)
+    stats = partition_stats(part)
+    if adj is None or stats["halo_rows_moved"] <= stats["ring_rows_moved"]:
+        fn, n_pad = make_halo_spmm(mesh, part)
+        kind = "halo"
+    else:
+        fn, n_pad = make_ring_spmm(mesh, adj)
+        kind = "ring"
+    return ShardedSupport(fn=fn, n=part.n, n_pad=n_pad, kind=kind)
+
+
 def make_support(adj: np.ndarray, *, dense_threshold: int = DENSE_THRESHOLD,
-                 tile: int = 128, reorder: bool = True):
+                 tile: int = 128, reorder: bool = True, mesh=None):
     """Pick the aggregation representation for a precomputed support.
 
     Dense jnp array for small graphs; `SparseSupport` (block-CSR for
@@ -80,8 +151,19 @@ def make_support(adj: np.ndarray, *, dense_threshold: int = DENSE_THRESHOLD,
     nonzero block count (>10% — it helps banded/road graphs presented
     in scrambled order, but cannot help expander-like graphs, where
     the identity order avoids the runtime permutation gathers).
+
+    With a `mesh` whose 'graph' axis is >1, aggregation instead runs
+    node-sharded through the explicit-collective paths
+    (`make_sharded_support`) regardless of size.
     """
     n = adj.shape[0]
+    if mesh is None:
+        mesh = _ACTIVE_MESH
+    if mesh is not None:
+        from gptst_tpu.parallel.mesh import GRAPH_AXIS
+
+        if mesh.shape[GRAPH_AXIS] > 1:
+            return make_sharded_support(np.asarray(adj), mesh)
     if n <= dense_threshold:
         return jnp.asarray(adj, jnp.float32)
     perm = inv_perm = None
@@ -97,8 +179,8 @@ def make_support(adj: np.ndarray, *, dense_threshold: int = DENSE_THRESHOLD,
             adj = adj[p][:, p]
             perm = jnp.asarray(p, jnp.int32)
             inv_perm = jnp.asarray(inv, jnp.int32)
-    bcsr = BlockCSR.from_dense(adj, tile=tile)
-    return SparseSupport(bcsr, bcsr.transpose(), perm, inv_perm)
+    bcsr, bcsr_t = BlockCSR.pair_from_dense(adj, tile=tile)
+    return SparseSupport(bcsr, bcsr_t, perm, inv_perm)
 
 
 def graph_matmul(support, x: jnp.ndarray) -> jnp.ndarray:
@@ -108,6 +190,14 @@ def graph_matmul(support, x: jnp.ndarray) -> jnp.ndarray:
     one MXU matmul per leading batch. Sparse: block-CSR Pallas SpMM
     (leading dims fold into the feature axis inside the kernel call).
     """
+    if isinstance(support, ShardedSupport):
+        n = x.shape[-2]
+        if n != support.n_pad:
+            pad = [(0, 0)] * x.ndim
+            pad[-2] = (0, support.n_pad - n)
+            x = jnp.pad(x, pad)
+        out = support.fn(x)
+        return out[..., :n, :] if n != support.n_pad else out
     if isinstance(support, SparseSupport):
         if support.perm is not None:
             x = jnp.take(x, support.perm, axis=-2)

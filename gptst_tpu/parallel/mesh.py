@@ -81,5 +81,14 @@ def shard_params(params: Any, mesh: Mesh, num_nodes: int) -> Any:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    sh = batch_sharding(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+    """Place (B, T, N, D) batch leaves on the mesh. An axis shards only
+    when its size divides the mesh axis (e.g. a ragged tail batch
+    replicates over 'data' instead — same math, no DP for it)."""
+
+    def put(a):
+        d_ax = DATA_AXIS if a.shape[0] % mesh.shape[DATA_AXIS] == 0 else None
+        g_ax = GRAPH_AXIS if a.shape[2] % mesh.shape[GRAPH_AXIS] == 0 else None
+        sh = NamedSharding(mesh, P(d_ax, None, g_ax, None))
+        return jax.device_put(a, sh)
+
+    return jax.tree.map(put, batch)

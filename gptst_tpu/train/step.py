@@ -109,7 +109,9 @@ def make_scanned_train_step(loss_terms: Callable,
 
 
 def make_indexed_train_step(loss_terms: Callable,
-                            optimizer: optax.GradientTransformation) -> Callable:
+                            optimizer: optax.GradientTransformation,
+                            constrain_batch: Callable | None = None
+                            ) -> Callable:
     """K steps per dispatch gathering batches from a device-resident
     dataset — zero per-step host->device traffic.
 
@@ -119,6 +121,11 @@ def make_indexed_train_step(loss_terms: Callable,
     with an on-device gather. Returns
     multi(params, opt_state, x_all, y_all, idx, rngs, epoch, step_count)
     with idx: (K, B) int32 window indices.
+
+    Under a mesh the resident splits are node-sharded over 'graph' and
+    window-replicated over 'data' (any index gathers locally);
+    `constrain_batch` reshards each gathered batch to the training
+    layout (B over 'data') so the step itself runs data-parallel.
     """
     step = make_train_step(loss_terms, optimizer)
 
@@ -129,6 +136,8 @@ def make_indexed_train_step(loss_terms: Callable,
             sel, r = inp
             x = jnp.take(x_all, sel, axis=0)
             y = jnp.take(y_all, sel, axis=0)
+            if constrain_batch is not None:
+                x, y = constrain_batch(x), constrain_batch(y)
             p, o, total, flow = step(p, o, x, y, r, epoch, s)
             return (p, o, s + 1), (total, flow)
 

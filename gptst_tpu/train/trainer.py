@@ -77,6 +77,11 @@ class Trainer:
     dataset: STDataset
     seed: int = 0
     log_dir: Optional[str] = None
+    # device mesh for multi-chip training: params' node tables shard
+    # over 'graph', batches over 'data' x 'graph'; GSPMD inserts the
+    # gradient all-reduce, and supports built under this mesh run the
+    # explicit ring/halo collectives (`ops/graph_conv.ShardedSupport`)
+    mesh: Any = None
 
     def __post_init__(self):
         self.logger = get_logger("trainer", debug=self.cfg.debug)
@@ -89,7 +94,26 @@ class Trainer:
         self.steps_per_epoch = self.dataset.num_batches(
             "train", self.cfg.batch_size)
         self.optimizer = make_optimizer(self.cfg, self.steps_per_epoch)
-        self.opt_state = self.optimizer.init(self.params)
+        constrain_batch = None
+        if self.mesh is not None:
+            from gptst_tpu.parallel.mesh import (
+                batch_sharding, shard_params,
+            )
+
+            # commit params to the mesh layout (node tables over
+            # 'graph'); opt_state inherits the shardings through the
+            # jitted init. Every jit below then propagates via GSPMD.
+            self.params = shard_params(self.params, self.mesh,
+                                       self.cfg.num_nodes)
+            self.opt_state = jax.jit(self.optimizer.init)(self.params)
+            self._batch_sh = batch_sharding(self.mesh)
+            _sh = self._batch_sh
+
+            def constrain_batch(t):
+                return jax.lax.with_sharding_constraint(t, _sh)
+        else:
+            self._batch_sh = None
+            self.opt_state = self.optimizer.init(self.params)
         s = self.dataset.scaler_data
         self.loss_fn = build_loss(
             self.cfg.loss_func, s.mean, s.std, self.cfg.mape_thresh,
@@ -106,17 +130,57 @@ class Trainer:
                 donate_argnums=(0, 1))
             if self.cfg.device_data:
                 try:
-                    self._x_dev = jnp.asarray(self.dataset.x_train)
-                    self._y_dev = jnp.asarray(self.dataset.y_train)
+                    self._x_dev = self._put_split(self.dataset.x_train)
+                    self._y_dev = self._put_split(self.dataset.y_train)
                     self._indexed_step = jax.jit(
                         make_indexed_train_step(
-                            self._loss_terms, self.optimizer),
+                            self._loss_terms, self.optimizer,
+                            constrain_batch=constrain_batch),
                         donate_argnums=(0, 1))
                 except Exception:  # dataset larger than HBM: host path
                     self._x_dev = self._y_dev = None
         self._eval_loss = jax.jit(self._eval_loss_impl)
         self._predict = jax.jit(self._predict_impl, static_argnames=("final",))
         self.batch_seen = 0
+
+    def _put_split(self, arr) -> jnp.ndarray:
+        """Device-resident split: single chip = plain put; on a mesh the
+        node axis shards over 'graph' and the window axis replicates
+        over 'data' (any window index is then a local gather; the
+        gathered batch is resharded to the data axis inside the step)."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gptst_tpu.parallel.mesh import GRAPH_AXIS
+
+        g = self.mesh.shape[GRAPH_AXIS]
+        g_ax = GRAPH_AXIS if arr.shape[2] % g == 0 else None
+        spec = P(None, None, g_ax, None)
+        return jax.device_put(jnp.asarray(arr),
+                              NamedSharding(self.mesh, spec))
+
+    def _put_batch(self, arr) -> jnp.ndarray:
+        """Host batch -> device, sharded (B over 'data', N over 'graph')
+        when a mesh is active. Accepts (B, T, N, D) or a stacked
+        (K, B, T, N, D) scan chunk."""
+        a = jnp.asarray(arr)
+        if self._batch_sh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gptst_tpu.parallel.mesh import DATA_AXIS, GRAPH_AXIS
+
+        lead = a.ndim - 4
+        # an axis shards only when its size divides the mesh axis (the
+        # ragged tail batch replicates over 'data' instead — same math,
+        # just no DP for that dispatch)
+        d_ax = DATA_AXIS if a.shape[lead] % self.mesh.shape[DATA_AXIS] == 0 \
+            else None
+        g_ax = GRAPH_AXIS if a.shape[lead + 2] % self.mesh.shape[GRAPH_AXIS] == 0 \
+            else None
+        spec = P(*([None] * lead), d_ax, None, g_ax, None)
+        return jax.device_put(a, NamedSharding(self.mesh, spec))
 
     # --- jitted kernels -------------------------------------------------
     def _eval_loss_impl(self, params, x, y):
@@ -136,8 +200,8 @@ class Trainer:
         k = len(chunk)
         if self._multi_step is not None and k > 1 and all(
                 c[0].shape == chunk[0][0].shape for c in chunk):
-            xs = jnp.stack([jnp.asarray(c[0]) for c in chunk])
-            ys = jnp.stack([jnp.asarray(c[1]) for c in chunk])
+            xs = self._put_batch(np.stack([np.asarray(c[0]) for c in chunk]))
+            ys = self._put_batch(np.stack([np.asarray(c[1]) for c in chunk]))
             rngs = jax.random.split(rng, k)
             sc = jnp.asarray(self.batch_seen, dtype=jnp.int32)
             (self.params, self.opt_state, _, totals, flows) = self._multi_step(
@@ -149,7 +213,8 @@ class Trainer:
             self.batch_seen += 1
             rng, step_rng = jax.random.split(rng)
             self.params, self.opt_state, loss, flow = self._train_step(
-                self.params, self.opt_state, jnp.asarray(xb), jnp.asarray(yb),
+                self.params, self.opt_state, self._put_batch(xb),
+                self._put_batch(yb),
                 step_rng, ep, jnp.asarray(self.batch_seen, dtype=jnp.int32))
             losses.append((float(loss), float(flow)))
         return losses
@@ -226,7 +291,8 @@ class Trainer:
     def val_epoch(self, epoch: int, split: str = "val") -> float:
         total, nb = 0.0, 0
         for xb, yb in self.dataset.batches(split, self.cfg.batch_size):
-            loss = self._eval_loss(self.params, jnp.asarray(xb), jnp.asarray(yb))
+            loss = self._eval_loss(self.params, self._put_batch(xb),
+                                   self._put_batch(yb))
             if not np.isnan(float(loss)):
                 total += float(loss)
             nb += 1
@@ -319,7 +385,7 @@ class Trainer:
         for xb, yb in self.dataset.batches(split, self.cfg.batch_size):
             rng, r = jax.random.split(rng)
             pred, mask = self._predict(
-                self.params, jnp.asarray(xb), jnp.asarray(yb),
+                self.params, self._put_batch(xb), self._put_batch(yb),
                 final_epoch, r, final=self.pretrain)
             label = (xb if self.pretrain else yb)[..., : self.cfg.output_dim]
             if self.pretrain and mask is not None:

@@ -77,9 +77,8 @@ def main() -> None:
     n = args.n
     rows, cols = road_graph_edges(n, args.degree, args.band)
     nnz = rows.size
-    bcsr = BlockCSR.from_coo(rows, cols, np.ones(nnz, np.float32), n,
-                             tile=args.tile)
-    bcsr_t = bcsr.transpose()
+    bcsr, bcsr_t = BlockCSR.pair_from_coo(
+        rows, cols, np.ones(nnz, np.float32), n, tile=args.tile)
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(n, args.feat)).astype(np.float32))
 
