@@ -16,18 +16,20 @@ import jax
 import jax.numpy as jnp
 
 
-def test_gwn_forward_parity():
+def build_gwn_pair(n=16, seed=0):
+    """(ref torch GWNET, our GWN model, transplanted flax params) with
+    dropout disabled and identical weights (`model/GWN/GWN.py`)."""
     from GWN.GWN import GWNET
 
     from gptst_tpu.models.predictors.gwn import GWN, GWNConfig
 
-    n = 16
     ns = argparse.Namespace(
         adj_mx=None, num_nodes=n, dropout=0.0, blocks=4, layers=2,
         gcn_bool=True, addaptadj=True, adjtype="doubletransition",
         randomadj=True, aptonly=True, kernel_size=2, nhid=32,
         residual_channels=32, dilation_channels=32,
         input_window=12, output_window=12)
+    torch.manual_seed(seed)
     ref = GWNET(ns, torch.device("cpu"), dim_in=1, dim_out=1)
     ref.train()  # batch-stats normalization, dropout=0 so deterministic
 
@@ -50,11 +52,10 @@ def test_gwn_forward_parity():
 
     pcfg = GWNConfig(num_nodes=n, dropout=0.0)
     model = GWN(cfg=pcfg, dim_in=1, dim_out=1, horizon=12)
-    x = np.random.default_rng(0).normal(size=(4, 12, n, 1)) \
-        .astype(np.float32)
+    x0 = np.zeros((2, 12, n, 1), np.float32)
     params = jax.tree.map(
         np.asarray,
-        model.init(jax.random.PRNGKey(0), jnp.asarray(x), ()))["params"]
+        model.init(jax.random.PRNGKey(0), jnp.asarray(x0), ()))["params"]
 
     def lin(conv):  # torch Conv2d 1x1 -> Dense
         return {"kernel": conv.weight.detach().numpy()[:, :, 0, 0].T,
@@ -82,7 +83,17 @@ def test_gwn_forward_parity():
             "bias": ref.bn[i].bias.detach().numpy()}
     params["end_conv_1"] = lin(ref.end_conv_1)
     params["end_conv_2"] = lin(ref.end_conv_2)
+    # detach().numpy() arrays are views of the torch tensors — copy, or
+    # the torch optimizer would mutate our params in place
+    params = jax.tree.map(np.array, params)
+    return ref, model, params
 
+
+def test_gwn_forward_parity():
+    n = 16
+    ref, model, params = build_gwn_pair(n)
+    x = np.random.default_rng(0).normal(size=(4, 12, n, 1)) \
+        .astype(np.float32)
     with torch.no_grad():
         want = ref(torch.tensor(x)).numpy()
     got = np.asarray(model.apply({"params": params}, jnp.asarray(x), ()))
