@@ -74,7 +74,7 @@ class BlockCSR:
     @classmethod
     def _from_blocks(cls, u_rows: np.ndarray, u_cols: np.ndarray,
                      blocks: np.ndarray, n: int, n_pad: int,
-                     tile: int) -> "BlockCSR":
+                     tile: int, vals_dtype=jnp.float32) -> "BlockCSR":
         """Assemble from host-side unique (row, col, block) triples
         (must be lexsorted by (row, col))."""
         rt = n_pad // tile
@@ -90,7 +90,7 @@ class BlockCSR:
         return cls(
             block_ptr=jnp.asarray(ptr, jnp.int32),
             block_cols=jnp.asarray(u_cols, jnp.int32),
-            block_vals=jnp.asarray(blocks, jnp.float32),
+            block_vals=jnp.asarray(blocks, vals_dtype),
             n=n, n_pad=n_pad, tile=tile)
 
     @staticmethod
@@ -109,27 +109,32 @@ class BlockCSR:
             blocks
 
     @classmethod
-    def from_dense(cls, adj: np.ndarray, tile: int = 128) -> "BlockCSR":
+    def from_dense(cls, adj: np.ndarray, tile: int = 128,
+                   vals_dtype=jnp.float32) -> "BlockCSR":
         n = adj.shape[0]
         n_pad = _round_up(n, tile)
         rows, cols = np.nonzero(adj)
         u_rows, u_cols, blocks = cls._coo_blocks(
             rows, cols, adj[rows, cols], n_pad, tile)
-        return cls._from_blocks(u_rows, u_cols, blocks, n, n_pad, tile)
+        return cls._from_blocks(u_rows, u_cols, blocks, n, n_pad, tile,
+                                vals_dtype)
 
     @classmethod
     def from_coo(cls, rows: np.ndarray, cols: np.ndarray,
-                 vals: np.ndarray, n: int, tile: int = 128) -> "BlockCSR":
+                 vals: np.ndarray, n: int, tile: int = 128,
+                 vals_dtype=jnp.float32) -> "BlockCSR":
         """Build from an edge list without materializing the dense
         (N, N) adjacency — required beyond ~16k nodes."""
         n_pad = _round_up(n, tile)
         u_rows, u_cols, blocks = cls._coo_blocks(rows, cols, vals,
                                                  n_pad, tile)
-        return cls._from_blocks(u_rows, u_cols, blocks, n, n_pad, tile)
+        return cls._from_blocks(u_rows, u_cols, blocks, n, n_pad, tile,
+                                vals_dtype)
 
     @classmethod
     def pair_from_coo(cls, rows: np.ndarray, cols: np.ndarray,
-                      vals: np.ndarray, n: int, tile: int = 128
+                      vals: np.ndarray, n: int, tile: int = 128,
+                      vals_dtype=jnp.float32
                       ) -> tuple["BlockCSR", "BlockCSR"]:
         """(A, A^T) built in one host-side pass — no device round-trip
         (a `transpose()` on an already-uploaded BlockCSR must download
@@ -137,20 +142,22 @@ class BlockCSR:
         n_pad = _round_up(n, tile)
         u_rows, u_cols, blocks = cls._coo_blocks(rows, cols, vals,
                                                  n_pad, tile)
-        a = cls._from_blocks(u_rows, u_cols, blocks, n, n_pad, tile)
+        a = cls._from_blocks(u_rows, u_cols, blocks, n, n_pad, tile,
+                             vals_dtype)
         order = np.lexsort((u_rows, u_cols))
         at = cls._from_blocks(
             u_cols[order], u_rows[order],
             np.ascontiguousarray(blocks[order].transpose(0, 2, 1)),
-            n, n_pad, tile)
+            n, n_pad, tile, vals_dtype)
         return a, at
 
     @classmethod
-    def pair_from_dense(cls, adj: np.ndarray, tile: int = 128
+    def pair_from_dense(cls, adj: np.ndarray, tile: int = 128,
+                        vals_dtype=jnp.float32
                         ) -> tuple["BlockCSR", "BlockCSR"]:
         rows, cols = np.nonzero(adj)
         return cls.pair_from_coo(rows, cols, adj[rows, cols],
-                                 adj.shape[0], tile)
+                                 adj.shape[0], tile, vals_dtype)
 
     def transpose(self) -> "BlockCSR":
         """Block structure of A^T (for the backward pass). Downloads
@@ -190,7 +197,7 @@ def _spmm_kernel(ptr_ref, cols_ref, vals_hbm, x_ref, out_ref):
 
     def scoped(vbuf, sems):
         # double-buffered, chunked HBM->VMEM DMA of adjacency blocks,
-        # overlapped with the MXU block matmuls
+        # overlapped with the MXU matmuls
         def get_dma(slot, c):
             return pltpu.make_async_copy(
                 vals_hbm.at[pl.ds(start + c * _DMA_CHUNK, _DMA_CHUNK)],
@@ -209,15 +216,30 @@ def _spmm_kernel(ptr_ref, cols_ref, vals_hbm, x_ref, out_ref):
 
             get_dma(slot, c).wait()
             base = start + c * _DMA_CHUNK
-
-            def blk_body(j, a):
-                col = cols_ref[base + j]
-                xa = x_ref[pl.ds(col * tb, tb), :]
-                return a + jnp.dot(vbuf[slot, j], xa,
-                                   preferred_element_type=jnp.float32)
-
-            valid = jnp.minimum(_DMA_CHUNK, num - c * _DMA_CHUNK)
-            return jax.lax.fori_loop(0, valid, blk_body, acc)
+            # gather the CHUNK referenced x tiles and contract the whole
+            # chunk in ONE dot_general over (k, col) — an effective
+            # K = CHUNK*TB matmul instead of CHUNK serial TBxTB dots
+            # (small dots leave the MXU issue-bound). A chunk may
+            # overrun into the next row tile's blocks: SELECT those
+            # value blocks to zero (selection, not multiplication —
+            # legitimate NaN/Inf in k < valid blocks must propagate,
+            # while an overrun NaN times zero would survive a multiply)
+            valid = num - c * _DMA_CHUNK
+            xcat = jnp.stack([
+                x_ref[pl.ds(cols_ref[base + k] * tb, tb), :]
+                for k in range(_DMA_CHUNK)
+            ]).astype(vbuf.dtype)                       # (CHUNK, TB, FT)
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (_DMA_CHUNK, 1, 1), 0)
+            vcat = jnp.where(lane < valid, vbuf[slot],
+                             jnp.zeros_like(vbuf[slot]))
+            # matched operand dtypes: bf16 block values halve HBM
+            # traffic AND double the MXU rate; accumulation stays f32
+            blk = jax.lax.dot_general(
+                vcat, xcat,
+                dimension_numbers=(((0, 2), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return acc + blk
 
         acc0 = jnp.zeros(out_ref.shape, jnp.float32)
         out_ref[:] = jax.lax.fori_loop(0, nch, chunk_body, acc0).astype(
@@ -225,7 +247,7 @@ def _spmm_kernel(ptr_ref, cols_ref, vals_hbm, x_ref, out_ref):
 
     pl.run_scoped(
         scoped,
-        pltpu.VMEM((2, _DMA_CHUNK, tb, tb), jnp.float32),
+        pltpu.VMEM((2, _DMA_CHUNK, tb, tb), vals_hbm.dtype),
         pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -276,14 +298,20 @@ def _spmm_kernel_stream(ptr_ref, cols_ref, vals_hbm, x_hbm, out_ref):
             valid = num - c * _DMA_CHUNK
             # every started DMA must be waited (a leaked semaphore
             # signal would corrupt the slot's next reuse), but chunk
-            # overrun reads the NEXT row tile's blocks — mask those
-            # contributions out
+            # overrun reads the NEXT row tile's blocks — SELECT those
+            # value blocks to zero, then contract the whole chunk in
+            # ONE K = CHUNK*TB dot_general (serial TBxTB dots leave
+            # the MXU issue-bound)
             for k in range(_DMA_CHUNK):
                 x_dma(slot, c, k).wait()
-                blk = jnp.dot(vbuf[slot, k], xbuf[slot, k],
-                              preferred_element_type=jnp.float32)
-                acc = acc + jnp.where(k < valid, blk, 0.0)
-            return acc
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (_DMA_CHUNK, 1, 1), 0)
+            vcat = jnp.where(lane < valid, vbuf[slot],
+                             jnp.zeros_like(vbuf[slot]))
+            return acc + jax.lax.dot_general(
+                vcat, xbuf[slot].astype(vcat.dtype),
+                dimension_numbers=(((0, 2), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32)
 
         acc0 = jnp.zeros(out_ref.shape, jnp.float32)
         out_ref[:] = jax.lax.fori_loop(0, nch, chunk_body, acc0).astype(
@@ -292,9 +320,9 @@ def _spmm_kernel_stream(ptr_ref, cols_ref, vals_hbm, x_hbm, out_ref):
     pl.run_scoped(
         scoped,
         pltpu.VMEM((2, _DMA_CHUNK, out_ref.shape[0], out_ref.shape[0]),
-                   jnp.float32),
+                   vals_hbm.dtype),
         pltpu.VMEM((2, _DMA_CHUNK, out_ref.shape[0], out_ref.shape[1]),
-                   jnp.float32),
+                   x_hbm.dtype),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2, _DMA_CHUNK)),
     )
@@ -329,6 +357,7 @@ def _spmm_padded(bcsr: BlockCSR, x_pad: jnp.ndarray,
                                memory_space=pltpu.VMEM),
     )
     nnzb = bcsr.block_vals.shape[0]
+    vb = bcsr.block_vals.dtype.itemsize
     flops = 2 * nnzb * tb * tb * feat_tile
     return pl.pallas_call(
         kernel,
@@ -336,9 +365,22 @@ def _spmm_padded(bcsr: BlockCSR, x_pad: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((n_pad, f_pad), x_pad.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(nnzb * tb * tb + 2 * n_pad * f_pad) * 4,
+            bytes_accessed=nnzb * tb * tb * vb + 2 * n_pad * f_pad * 4,
             transcendentals=0),
     )(bcsr.block_ptr, bcsr.block_cols, bcsr.block_vals, x_pad)
+
+
+def _choose_feat_tile(n_pad: int, f: int) -> int:
+    """Largest feature tile (<= 512) that keeps the x stripe VMEM-
+    resident; blocks are re-streamed once per feature tile, so a wider
+    tile divides the adjacency traffic for wide activations (the model
+    path folds B*T*C into f). Falls back to the widest tile for the
+    streaming-gather variant when no stripe fits."""
+    cap = _round_up(min(f, 512), 128)
+    for ft in (512, 384, 256, 128):
+        if ft <= cap and n_pad * ft * 4 <= _STRIPE_VMEM_BUDGET:
+            return ft
+    return cap
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -357,7 +399,7 @@ def _spmm_impl(bcsr: BlockCSR, x: jnp.ndarray) -> jnp.ndarray:
     assert n == bcsr.n, (n, bcsr.n)
     flat = jnp.moveaxis(x.reshape(-1, n, c), 1, 0).reshape(n, -1)
     f = flat.shape[1]
-    feat_tile = 128 if f % 128 == 0 else _round_up(min(f, 512), 128)
+    feat_tile = _choose_feat_tile(bcsr.n_pad, f)
     f_pad = _round_up(f, feat_tile)
     x_pad = jnp.zeros((bcsr.n_pad, f_pad), x.dtype)
     x_pad = x_pad.at[:n, :f].set(flat)
@@ -449,8 +491,9 @@ def _spmm_fwd(bcsr, bcsr_t, x):
 def _spmm_bwd(res, g):
     bcsr, bcsr_t, x = res
     d_bcsr = jax.tree.map(jnp.zeros_like, bcsr)
-    d_bcsr = dataclasses.replace(d_bcsr,
-                                 block_vals=_spmm_dvals(bcsr, g, x))
+    d_bcsr = dataclasses.replace(
+        d_bcsr,
+        block_vals=_spmm_dvals(bcsr, g, x).astype(bcsr.block_vals.dtype))
     d_bcsr_t = jax.tree.map(jnp.zeros_like, bcsr_t)
     return (d_bcsr, d_bcsr_t, _spmm_impl(bcsr_t, g))
 

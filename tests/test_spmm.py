@@ -103,3 +103,49 @@ def test_transpose_structure():
     want = jnp.asarray(adj).T @ x
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_bf16_vals_close_to_f32():
+    """bf16 block values (half the adjacency HBM traffic, double MXU
+    rate) stay within bf16 tolerance of the f32 kernel; accumulation
+    is f32 either way."""
+    import jax.numpy as jnp
+
+    from gptst_tpu.graph.artifacts import random_sensor_graph, sym_adj
+
+    n = 96
+    adj = sym_adj(random_sensor_graph(n, avg_degree=5, seed=11))
+    a32, a32t = BlockCSR.pair_from_dense(adj, tile=16)
+    a16, a16t = BlockCSR.pair_from_dense(adj, tile=16,
+                                         vals_dtype=jnp.bfloat16)
+    assert a16.block_vals.dtype == jnp.bfloat16
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(n, 8)).astype(np.float32))
+    got32 = np.asarray(spmm(a32, a32t, x))
+    got16 = np.asarray(spmm(a16, a16t, x))
+    np.testing.assert_allclose(got16, got32, rtol=2e-2, atol=2e-2)
+
+    # gradients flow through the bf16 path too
+    g = jax.grad(lambda v: float(0) + jnp.sum(spmm(a16, a16t, v) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_spmm_wide_features_uses_larger_tile():
+    """Wide activations (the model path folds B*T*C into f) pick a
+    >=256 feature tile when the stripe fits, dividing adjacency
+    re-reads (`_choose_feat_tile`)."""
+    from gptst_tpu.kernels.spmm import _choose_feat_tile
+
+    assert _choose_feat_tile(1024, 512) == 512
+    assert _choose_feat_tile(1024, 128) == 128
+    # stripe budget forces narrower tiles as n_pad grows
+    assert _choose_feat_tile(16384, 512) == 128
+    assert _choose_feat_tile(1 << 20, 512) == 512  # streaming fallback
+
+    adj = sym_adj(random_sensor_graph(300, avg_degree=5, seed=3))
+    sup_a, sup_t = BlockCSR.pair_from_dense(adj, tile=128)
+    x = np.random.default_rng(4).normal(size=(2, 300, 256)) \
+        .astype(np.float32)
+    got = np.asarray(spmm(sup_a, sup_t, jnp.asarray(x)))
+    want = np.einsum("nm,bmc->bnc", adj, x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
