@@ -329,8 +329,153 @@ def _spmm_kernel_stream(ptr_ref, cols_ref, vals_hbm, x_hbm, out_ref):
 
 
 # Resident-stripe variant budget: the whole (n_pad, FT) x stripe lives
-# in VMEM. Past this, switch to the streaming-gather variant.
+# in VMEM. Past this, switch to the panel / streaming-gather variants.
+# (TPU VMEM is ~16 MB/core; half goes to the stripe, the rest to the
+# double-buffered value chunks, the output tile, and pipeline slack.)
 _STRIPE_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _spmm_kernel_panel(ptr2_ref, cols_ref, vals_hbm, x_ref, out_ref):
+    """Large-N variant: x is processed in VMEM-resident column PANELS.
+
+    grid = (feat_tiles j, panels p, row_tiles i); the (panel_rows, FT)
+    x panel rides a BlockSpec keyed on (p, j), so it loads ONCE per
+    panel — total x traffic is n_pad*f_pad, vs the streaming-gather
+    variant's nnzb*TB*FT duplicate reads (~42x on a degree-16 graph).
+    Each (p, i) pair contracts only the blocks whose column tile falls
+    in panel p (`ptr2` sub-ranges, precomputed by searchsorted over the
+    globally (row, col)-sorted block keys); per-panel partial outputs
+    land in (panels, n_pad, f_pad) and one fused XLA reduction sums
+    them — trading 2*panels*n_pad*FT bytes of partial traffic for the
+    elimination of the duplicate x gathers.
+    """
+    j = pl.program_id(0)
+    p = pl.program_id(1)
+    i = pl.program_id(2)
+    del j
+    tb = out_ref.shape[1]
+    pt = x_ref.shape[0] // tb          # column tiles per panel
+    start = ptr2_ref[i, p]
+    end = ptr2_ref[i, p + 1]
+    num = end - start
+    nch = pl.cdiv(num, _DMA_CHUNK)
+
+    def scoped(vbuf, sems):
+        def get_dma(slot, c):
+            return pltpu.make_async_copy(
+                vals_hbm.at[pl.ds(start + c * _DMA_CHUNK, _DMA_CHUNK)],
+                vbuf.at[slot], sems.at[slot])
+
+        @pl.when(nch > 0)
+        def _():
+            get_dma(0, 0).start()
+
+        def chunk_body(c, acc):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < nch)
+            def _():
+                get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+            get_dma(slot, c).wait()
+            base = start + c * _DMA_CHUNK
+            valid = num - c * _DMA_CHUNK
+            # overrun blocks (chunk rounding) may reference columns
+            # outside this panel: clamp the local tile index and SELECT
+            # their value blocks to zero (see _spmm_kernel)
+            xcat = jnp.stack([
+                x_ref[pl.ds(jnp.clip(
+                    cols_ref[base + k] - p * pt, 0, pt - 1) * tb, tb), :]
+                for k in range(_DMA_CHUNK)
+            ]).astype(vbuf.dtype)
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (_DMA_CHUNK, 1, 1), 0)
+            vcat = jnp.where(lane < valid, vbuf[slot],
+                             jnp.zeros_like(vbuf[slot]))
+            return acc + jax.lax.dot_general(
+                vcat, xcat,
+                dimension_numbers=(((0, 2), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        acc0 = jnp.zeros(out_ref.shape[1:], jnp.float32)
+        out_ref[0] = jax.lax.fori_loop(0, nch, chunk_body, acc0).astype(
+            out_ref.dtype)
+
+    pl.run_scoped(
+        scoped,
+        pltpu.VMEM((2, _DMA_CHUNK, tb, tb), vals_hbm.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _panel_ptr2(bcsr: BlockCSR, pt: int, panels: int) -> jnp.ndarray:
+    """(rt, panels+1) absolute block-index boundaries of each row
+    tile's per-panel column sub-ranges (device-side: no host pull of
+    the block arrays, which is slow on tunneled backends)."""
+    rt = bcsr.row_tiles
+    ct = bcsr.n_pad // bcsr.tile
+    nnzb = bcsr.block_vals.shape[0]
+    bid = jnp.arange(nnzb, dtype=jnp.int32)
+    rids = jnp.clip(
+        jnp.searchsorted(bcsr.block_ptr, bid, side="right") - 1, 0, rt - 1)
+    # blocks are globally (row, col)-sorted -> composite keys ascend;
+    # chunk-padding blocks past ptr[-1] get the sentinel rt*ct, one
+    # past the largest possible query (int32 throughout: rt*ct fits —
+    # an int64 sentinel would silently truncate without jax_enable_x64)
+    key = rids.astype(jnp.int32) * ct + bcsr.block_cols
+    key = jnp.where(bid < bcsr.block_ptr[-1], key, jnp.int32(rt * ct))
+    q = (jnp.arange(rt, dtype=jnp.int32)[:, None] * ct
+         + jnp.minimum(jnp.arange(panels + 1, dtype=jnp.int32) * pt, ct))
+    return jnp.searchsorted(key, q.reshape(-1)).reshape(
+        rt, panels + 1).astype(jnp.int32)
+
+
+def _spmm_panel(bcsr: BlockCSR, x_pad: jnp.ndarray,
+                feat_tile: int) -> jnp.ndarray:
+    """Panel-resident large-N path; x_pad: (n_pad, f_pad)."""
+    n_pad, f_pad = x_pad.shape
+    tb = bcsr.tile
+    pt = max(1, _STRIPE_VMEM_BUDGET // (feat_tile * 4) // tb)
+    ct = n_pad // tb
+    panels = -(-ct // pt)
+    rows_pan = panels * pt * tb
+    if rows_pan != n_pad:  # last panel padding
+        x_pad = jnp.zeros((rows_pan, f_pad), x_pad.dtype
+                          ).at[:n_pad].set(x_pad)
+    ptr2 = _panel_ptr2(bcsr, pt, panels)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(f_pad // feat_tile, panels, bcsr.row_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),             # block_vals
+            pl.BlockSpec((pt * tb, feat_tile),
+                         lambda j, p, i, *_: (p, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tb, feat_tile),
+                               lambda j, p, i, *_: (p, i, j),
+                               memory_space=pltpu.VMEM),
+    )
+    nnzb = bcsr.block_vals.shape[0]
+    vb = bcsr.block_vals.dtype.itemsize
+    partial = pl.pallas_call(
+        _spmm_kernel_panel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((panels, n_pad, f_pad),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nnzb * tb * tb * f_pad,
+            bytes_accessed=(nnzb * tb * tb * vb * (f_pad // feat_tile)
+                            + rows_pan * f_pad * 4
+                            + panels * n_pad * f_pad * 4),
+            transcendentals=0),
+    )(ptr2, bcsr.block_cols, bcsr.block_vals, x_pad)
+    return partial.sum(axis=0).astype(x_pad.dtype)
+
+
+# Largest per-panel partial-sum buffer the panel variant may allocate.
+_PANEL_PARTIALS_CAP = 512 * 1024 * 1024
 
 
 def _spmm_padded(bcsr: BlockCSR, x_pad: jnp.ndarray,
@@ -340,6 +485,16 @@ def _spmm_padded(bcsr: BlockCSR, x_pad: jnp.ndarray,
     tb = bcsr.tile
     stream = n_pad * feat_tile * 4 > _STRIPE_VMEM_BUDGET
     if stream:
+        # prefer the panel-resident variant when the duplicate x reads
+        # it eliminates (nnzb*TB*FT per feature tile) exceed the
+        # partial-sum traffic it adds (2*panels*n_pad*FT), and the
+        # partials buffer is affordable
+        nnzb = bcsr.block_vals.shape[0]
+        pt = max(1, _STRIPE_VMEM_BUDGET // (feat_tile * 4) // tb)
+        panels = -(-(n_pad // tb) // pt)
+        if (nnzb * tb > 2 * panels * n_pad
+                and panels * n_pad * f_pad * 4 <= _PANEL_PARTIALS_CAP):
+            return _spmm_panel(bcsr, x_pad, feat_tile)
         kernel = _spmm_kernel_stream
         x_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:

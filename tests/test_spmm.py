@@ -149,3 +149,55 @@ def test_spmm_wide_features_uses_larger_tile():
     got = np.asarray(spmm(sup_a, sup_t, jnp.asarray(x)))
     want = np.einsum("nm,bmc->bnc", adj, x)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_panel_variant_matches_dense():
+    """Panel-resident large-N path (`_spmm_kernel_panel`): x loads once
+    per VMEM panel instead of per referenced block; per-panel partials
+    sum to the same answer as the dense product."""
+    from gptst_tpu.kernels.spmm import _round_up, _spmm_panel
+
+    n, tile = 200, 16
+    adj = sym_adj(random_sensor_graph(n, avg_degree=6, seed=9))
+    bcsr, _ = BlockCSR.pair_from_dense(adj, tile=tile)
+    rng = np.random.default_rng(5)
+    f = 128
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    x_pad = np.zeros((bcsr.n_pad, _round_up(f, 128)), np.float32)
+    x_pad[:n, :f] = x
+
+    # force multiple small panels (2 column tiles per panel)
+    import gptst_tpu.kernels.spmm as sm
+    budget = 2 * tile * 128 * 4
+    old = sm._STRIPE_VMEM_BUDGET
+    sm._STRIPE_VMEM_BUDGET = budget
+    try:
+        got = np.asarray(_spmm_panel(bcsr, jnp.asarray(x_pad), 128))
+    finally:
+        sm._STRIPE_VMEM_BUDGET = old
+    want = adj @ x
+    np.testing.assert_allclose(got[:n, :f], want, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_panel_grad_and_bf16():
+    """The panel path participates in the custom VJP and accepts bf16
+    block values."""
+    from gptst_tpu.kernels.spmm import _round_up, _spmm_panel
+
+    n, tile = 120, 16
+    adj = sym_adj(random_sensor_graph(n, avg_degree=5, seed=12))
+    b16, _ = BlockCSR.pair_from_dense(adj, tile=tile,
+                                      vals_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(6)
+    x_pad = np.zeros((b16.n_pad, 128), np.float32)
+    x_pad[:n, :8] = rng.normal(size=(n, 8)).astype(np.float32)
+
+    import gptst_tpu.kernels.spmm as sm
+    old = sm._STRIPE_VMEM_BUDGET
+    sm._STRIPE_VMEM_BUDGET = 2 * tile * 128 * 4
+    try:
+        got = np.asarray(_spmm_panel(b16, jnp.asarray(x_pad), 128))
+    finally:
+        sm._STRIPE_VMEM_BUDGET = old
+    want = adj @ x_pad[:n]
+    np.testing.assert_allclose(got[:n], want, rtol=2e-2, atol=2e-2)
