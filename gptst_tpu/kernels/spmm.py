@@ -234,12 +234,14 @@ def _spmm_kernel(ptr_ref, cols_ref, vals_hbm, x_ref, out_ref):
             vcat = jnp.where(lane < valid, vbuf[slot],
                              jnp.zeros_like(vbuf[slot]))
             # matched operand dtypes: bf16 block values halve HBM
-            # traffic AND double the MXU rate; accumulation stays f32
+            # traffic AND double the MXU rate; accumulation stays f32.
+            # Batched over the chunk axis + sum: Mosaic's tpu.matmul
+            # cannot lower a multi-dim contraction (((0,2),(0,1)))
             blk = jax.lax.dot_general(
                 vcat, xcat,
-                dimension_numbers=(((0, 2), (0, 1)), ((), ())),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
-            return acc + blk
+            return acc + blk.sum(axis=0)
 
         acc0 = jnp.zeros(out_ref.shape, jnp.float32)
         out_ref[:] = jax.lax.fori_loop(0, nch, chunk_body, acc0).astype(
@@ -310,8 +312,8 @@ def _spmm_kernel_stream(ptr_ref, cols_ref, vals_hbm, x_hbm, out_ref):
                              jnp.zeros_like(vbuf[slot]))
             return acc + jax.lax.dot_general(
                 vcat, xbuf[slot].astype(vcat.dtype),
-                dimension_numbers=(((0, 2), (0, 1)), ((), ())),
-                preferred_element_type=jnp.float32)
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).sum(axis=0)
 
         acc0 = jnp.zeros(out_ref.shape, jnp.float32)
         out_ref[:] = jax.lax.fori_loop(0, nch, chunk_body, acc0).astype(
@@ -394,8 +396,8 @@ def _spmm_kernel_panel(ptr2_ref, cols_ref, vals_hbm, x_ref, out_ref):
                              jnp.zeros_like(vbuf[slot]))
             return acc + jax.lax.dot_general(
                 vcat, xcat,
-                dimension_numbers=(((0, 2), (0, 1)), ((), ())),
-                preferred_element_type=jnp.float32)
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).sum(axis=0)
 
         acc0 = jnp.zeros(out_ref.shape[1:], jnp.float32)
         out_ref[0] = jax.lax.fori_loop(0, nch, chunk_body, acc0).astype(

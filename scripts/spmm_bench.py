@@ -9,7 +9,19 @@ fraction of the HBM speed-of-light:
               + 2 * N * C * 4           (x read + out write)
   SoL time = bytes / HBM_BW
 
-  PYTHONPATH=$PYTHONPATH:. python scripts/spmm_bench.py --n 16384
+Timing methodology: `iters` kernel applications are CHAINED INSIDE ONE
+jit (lax.fori_loop whose carry feeds the next call) and the total is
+divided by `iters`. Per-dispatch timing is useless on this backend —
+the axon tunnel has a ~0.6-1 ms dispatch floor that dominates any
+sub-millisecond kernel (measured: a 0.27 GFLOP probe kernel and a
+4096^2 dense matmul both "take" ~0.6-1 ms dispatched individually).
+The adjacency is row-normalized so chained products stay finite.
+
+  python -c "import sys; sys.argv=['x','--n','16384']; \
+             import runpy; runpy.run_path('scripts/spmm_bench.py', \
+             run_name='__main__')"
+  (run from the repo root; do NOT add the repo root to PYTHONPATH —
+  shadowing breaks the axon TPU plugin discovery)
 """
 
 from __future__ import annotations
@@ -38,16 +50,27 @@ def road_graph_edges(n: int, degree: int, band: int = 48,
     return key // n, key % n
 
 
-def _time(fn, *args, iters=50):
+def time_chained(step_fn, x0, iters=32, reps=3, operands=()):
+    """Time x -> step_fn(x, *operands) chained `iters` times inside ONE
+    jit; the carry dependency defeats result caching/CSE at every layer.
+
+    Pass every large array (adjacency, dense matrix, BlockCSR pytree)
+    via `operands`, NOT a closure: closure-captured jax Arrays are
+    baked into the lowered module as literals, which on the axon
+    tunnel means a compile REQUEST carrying the whole array (a 16k
+    BlockCSR produced an HTTP 413 / multi-minute upload)."""
     import jax
 
-    jax.block_until_ready(fn(*args))
+    def run(x, *ops):
+        return jax.lax.fori_loop(
+            0, iters, lambda i, v: step_fn(v, *ops), x)
+
+    fn = jax.jit(run)
+    jax.block_until_ready(fn(x0, *operands))
     best = float("inf")
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = fn(*args)
+        out = fn(x0, *operands)
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
@@ -60,9 +83,11 @@ def main() -> None:
     p.add_argument("--band", type=int, default=48)
     p.add_argument("--feat", type=int, default=128)
     p.add_argument("--tile", type=int, default=128)
-    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--iters", type=int, default=32)
     p.add_argument("--rank", type=int, default=10,
                    help="embedding rank for the SDDMM bench")
+    p.add_argument("--bf16_vals", action="store_true",
+                   help="bf16 block values (halved adjacency traffic)")
     p.add_argument("--hbm_gbps", type=float, default=819.0,
                    help="chip HBM bandwidth (v5e: 819 GB/s)")
     args = p.parse_args()
@@ -77,32 +102,39 @@ def main() -> None:
     n = args.n
     rows, cols = road_graph_edges(n, args.degree, args.band)
     nnz = rows.size
-    bcsr, bcsr_t = BlockCSR.pair_from_coo(
-        rows, cols, np.ones(nnz, np.float32), n, tile=args.tile)
+    # row-normalize so chained products stay finite over `iters` hops
+    deg = np.maximum(np.bincount(rows, minlength=n), 1)
+    vals = (1.0 / deg[rows]).astype(np.float32)
+    vdt = jnp.bfloat16 if args.bf16_vals else jnp.float32
+    bcsr, bcsr_t = BlockCSR.pair_from_coo(rows, cols, vals, n,
+                                          tile=args.tile, vals_dtype=vdt)
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(n, args.feat)).astype(np.float32))
 
-    fn = jax.jit(spmm)
-    out = fn(bcsr, bcsr_t, x)
+    out = jax.jit(spmm)(bcsr, bcsr_t, x)
     # correctness probe vs on-device dense matmul on a row slice
     adj_head = np.zeros((512, n), np.float32)
     head = rows < 512
-    adj_head[rows[head], cols[head]] = 1.0
+    adj_head[rows[head], cols[head]] = vals[head]
     want = jax.jit(lambda a, v: a @ v)(jnp.asarray(adj_head), x)
     np.testing.assert_allclose(np.asarray(out[:512]), np.asarray(want),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=2e-2 if args.bf16_vals else 1e-4,
+                               atol=2e-2 if args.bf16_vals else 1e-4)
 
-    best = _time(fn, bcsr, bcsr_t, x, iters=args.iters)
+    best = time_chained(lambda v, a, at: spmm(a, at, v), x,
+                        iters=args.iters, operands=(bcsr, bcsr_t))
 
     nnzb = int(bcsr.block_vals.shape[0])
-    bytes_step = nnzb * args.tile * args.tile * 4 + 2 * n * args.feat * 4
+    vb = bcsr.block_vals.dtype.itemsize
+    bytes_step = nnzb * args.tile * args.tile * vb + 2 * n * args.feat * 4
     sol_time = bytes_step / (args.hbm_gbps * 1e9)
 
     result = {
         "n": n, "nnz": nnz, "feat": args.feat, "nnz_blocks": nnzb,
+        "vals_dtype": "bfloat16" if args.bf16_vals else "float32",
         "block_density": round(
             nnzb / ((bcsr.n_pad // args.tile) ** 2), 4),
-        "ms_per_spmm": round(best * 1e3, 3),
+        "ms_per_spmm": round(best * 1e3, 4),
         "edge_feat_per_s_G": round(nnz * args.feat / best / 1e9, 2),
         "edges_per_s_G": round(nnz / best / 1e9, 3),
         "sol_fraction": round(sol_time / best, 3),
@@ -111,22 +143,30 @@ def main() -> None:
     # dense comparison while N^2 fits comfortably in HBM
     if n <= 8192:
         adj = np.zeros((n, n), np.float32)
-        adj[rows, cols] = 1.0
+        adj[rows, cols] = vals
         dense = jnp.asarray(adj)
-        dense_dt = _time(jax.jit(lambda a, v: a @ v), dense, x,
-                         iters=args.iters)
-        result["dense_ms"] = round(dense_dt * 1e3, 3)
+        dense_dt = time_chained(lambda v, a: a @ v, x, iters=args.iters,
+                                operands=(dense,))
+        result["dense_ms"] = round(dense_dt * 1e3, 4)
         result["speedup_vs_dense"] = round(dense_dt / best, 2)
 
-    # SDDMM: sampled E1 @ E2 on the same pattern
+    # SDDMM: sampled E1 @ E2 on the same pattern. Chained via a
+    # magnitude-preserving carry: e1 * (1 + sum(vals)*1e-30) == e1
+    # bit-exactly in f32 (1 + ~1e-27 rounds to 1) but keeps a real
+    # data dependency, so no layer can CSE the repeated call.
     pattern = SDDMMPattern.from_bcsr(bcsr)
     e1 = jnp.asarray(rng.normal(size=(n, args.rank)).astype(np.float32))
     e2 = jnp.asarray(rng.normal(size=(args.rank, n)).astype(np.float32))
-    sfn = jax.jit(sddmm)
-    sd_best = _time(sfn, pattern, e1, e2, iters=args.iters)
+
+    def sddmm_step(e, pat, e2op):
+        v = sddmm(pat, e, e2op)
+        return e * (1.0 + v.sum() * 1e-30)
+
+    sd_best = time_chained(sddmm_step, e1, iters=args.iters,
+                           operands=(pattern, e2))
     sd_bytes = (nnzb * args.tile * args.tile * 4          # block out
                 + 2 * nnzb * args.tile * 128 * 4)          # e1/e2 tiles
-    result["sddmm_ms"] = round(sd_best * 1e3, 3)
+    result["sddmm_ms"] = round(sd_best * 1e3, 4)
     result["sddmm_edges_per_s_G"] = round(nnz / sd_best / 1e9, 3)
     result["sddmm_sol_fraction"] = round(
         sd_bytes / (args.hbm_gbps * 1e9) / sd_best, 3)
