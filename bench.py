@@ -9,8 +9,9 @@ prints ONE JSON line:
   {"metric": ..., "value": samples/s, "unit": "samples/s",
    "vs_baseline": r, "f32_samples_per_s": ..., "bf16_samples_per_s": ...}
 
-The headline value is the bf16 path — the framework's fast mode, whose
-accuracy drift vs f32 is bounded by `tests/test_bf16_drift.py`. The
+The headline value is the faster measured mode (`fast_mode` in the
+output; bf16's drift vs f32 is bounded by `tests/test_bf16_drift.py`—
+at reference scale the convert overhead can make f32 the faster). The
 reference publishes no throughput numbers (BASELINE.md §Throughput);
 `vs_baseline` is measured against the recorded first-round TPU number in
 BASELINE.json["recorded"] (an f32 measurement) when present, else 1.0.
@@ -23,7 +24,7 @@ import sys
 import time
 
 
-def measure(cfg, k: int = 8, iters: int = 30, windows: int = 8) -> float:
+def measure(cfg, k: int = 32, iters: int = 10, windows: int = 6) -> float:
     """Best-window samples/s of the scan-fused train step under `cfg`."""
     import jax
     import jax.numpy as jnp
@@ -56,22 +57,37 @@ def measure(cfg, k: int = 8, iters: int = 30, windows: int = 8) -> float:
     sc = jnp.asarray(0, jnp.int32)
     rngs = jax.random.split(jax.random.PRNGKey(2), k)
 
+    sum_fn = jax.jit(jnp.sum)
     for _ in range(3):  # warmup / compile
         params, opt_state, sc, totals, flows = multi(
             params, opt_state, xs, xs, rngs, epoch, sc)
-    jax.block_until_ready(params)
+    total0 = float(sum_fn(totals))
+    assert total0 == total0, "train step produced NaN loss"
 
     # best-of-N windows: the benched chip is shared/tunneled and
     # window-to-window variance is large; best approximates the
-    # uncontended rate
+    # uncontended rate. Three measures keep the axon tunnel honest:
+    # k=32 scan-fused steps per dispatch amortize the ~1 ms dispatch
+    # floor; the donated params/opt_state carry makes every dispatch's
+    # arguments distinct (the backend serves repeated identical calls
+    # from a result cache); and each window ends by FETCHING the last
+    # step's loss — block_until_ready does not reliably wait on this
+    # backend, but the fetched value depends on the entire window's
+    # param chain. The anchor's own dispatch+fetch cost is subtracted.
+    anchor = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(sum_fn(totals))
+        anchor = min(anchor, time.perf_counter() - t0)
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
             params, opt_state, sc, totals, flows = multi(
                 params, opt_state, xs, xs, rngs, epoch, sc)
-        jax.block_until_ready(params)
-        best = min(best, (time.perf_counter() - t0) / (iters * k))
+        float(sum_fn(totals))
+        dt = max(time.perf_counter() - t0 - anchor, 1e-9)
+        best = min(best, dt / (iters * k))
     return cfg.batch_size / best
 
 
@@ -90,7 +106,11 @@ def main() -> None:
 
     f32_sps = measure(cfg.replace(compute_dtype="float32"))
     bf16_sps = measure(cfg.replace(compute_dtype="bfloat16"))
-    samples_per_s = bf16_sps
+    # headline = the faster measured mode. At reference scale (N=170)
+    # the model is small enough that bf16's extra convert ops can cost
+    # more than the halved MXU passes save; bf16 wins at larger N.
+    samples_per_s = max(f32_sps, bf16_sps)
+    fast_mode = "bfloat16" if bf16_sps >= f32_sps else "float32"
     steps_per_s = samples_per_s / cfg.batch_size
 
     # --- MFU context (VERDICT r1 weak item 3; ADVICE r2 high) ------------
@@ -145,10 +165,11 @@ def main() -> None:
     vs = samples_per_s / baseline if baseline else 1.0
 
     out = {
-        "metric": "gptst_pretrain_step_throughput_pems08_b64_bf16",
+        "metric": "gptst_pretrain_step_throughput_pems08_b64",
         "value": round(samples_per_s, 2),
         "unit": "samples/s",
         "vs_baseline": round(vs, 4),
+        "fast_mode": fast_mode,
         "f32_samples_per_s": round(f32_sps, 2),
         "bf16_samples_per_s": round(bf16_sps, 2),
     }

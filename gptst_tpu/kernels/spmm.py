@@ -178,29 +178,42 @@ class BlockCSR:
             self.n, self.n_pad, self.tile)
 
 
-# Blocks DMA'd per async copy. A lone (128,128) f32 block is 64 KiB —
-# small enough that per-DMA issue latency dominates HBM streaming time
-# (measured ~4x off bandwidth-bound). Blocks of a row tile are
-# contiguous in block_vals, so batching CHUNK of them per copy
-# amortizes the issue cost; from_dense/transpose pad the value array by
-# CHUNK zero blocks so the final (partial) chunk can over-copy safely.
+# Max blocks DMA'd per async copy. A lone (128,128) f32 block is
+# 64 KiB — small enough that per-DMA issue latency dominates HBM
+# streaming time (measured ~4x off bandwidth-bound). Blocks of a row
+# tile are contiguous in block_vals, so batching CHUNK of them per
+# copy amortizes the issue cost; from_dense/transpose pad the value
+# array by CHUNK zero blocks so the final (partial) chunk can
+# over-copy safely. The per-call chunk (`_pick_chunk`) shrinks when a
+# grid cell averages few blocks: every cell's LAST chunk over-reads up
+# to chunk-1 blocks, and at e.g. 64k nodes x 4 panels (~10 blocks per
+# cell) chunk=8 rounding inflated adjacency traffic ~1.5x.
 _DMA_CHUNK = 8
 
 
-def _spmm_kernel(ptr_ref, cols_ref, vals_hbm, x_ref, out_ref):
+def _pick_chunk(nnzb: int, cells: int) -> int:
+    avg = nnzb / max(cells, 1)
+    if avg >= 16:
+        return 8
+    if avg >= 6:
+        return 4
+    return 2
+
+
+def _spmm_kernel(chunk, ptr_ref, cols_ref, vals_hbm, x_ref, out_ref):
     i = pl.program_id(0)
     tb = out_ref.shape[0]
     start = ptr_ref[i]
     end = ptr_ref[i + 1]
     num = end - start
-    nch = pl.cdiv(num, _DMA_CHUNK)
+    nch = pl.cdiv(num, chunk)
 
     def scoped(vbuf, sems):
         # double-buffered, chunked HBM->VMEM DMA of adjacency blocks,
         # overlapped with the MXU matmuls
         def get_dma(slot, c):
             return pltpu.make_async_copy(
-                vals_hbm.at[pl.ds(start + c * _DMA_CHUNK, _DMA_CHUNK)],
+                vals_hbm.at[pl.ds(start + c * chunk, chunk)],
                 vbuf.at[slot], sems.at[slot])
 
         @pl.when(nch > 0)
@@ -215,7 +228,7 @@ def _spmm_kernel(ptr_ref, cols_ref, vals_hbm, x_ref, out_ref):
                 get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
 
             get_dma(slot, c).wait()
-            base = start + c * _DMA_CHUNK
+            base = start + c * chunk
             # gather the CHUNK referenced x tiles and contract the whole
             # chunk in ONE dot_general over (k, col) — an effective
             # K = CHUNK*TB matmul instead of CHUNK serial TBxTB dots
@@ -224,13 +237,13 @@ def _spmm_kernel(ptr_ref, cols_ref, vals_hbm, x_ref, out_ref):
             # value blocks to zero (selection, not multiplication —
             # legitimate NaN/Inf in k < valid blocks must propagate,
             # while an overrun NaN times zero would survive a multiply)
-            valid = num - c * _DMA_CHUNK
+            valid = num - c * chunk
             xcat = jnp.stack([
                 x_ref[pl.ds(cols_ref[base + k] * tb, tb), :]
-                for k in range(_DMA_CHUNK)
+                for k in range(chunk)
             ]).astype(vbuf.dtype)                       # (CHUNK, TB, FT)
             lane = jax.lax.broadcasted_iota(
-                jnp.int32, (_DMA_CHUNK, 1, 1), 0)
+                jnp.int32, (chunk, 1, 1), 0)
             vcat = jnp.where(lane < valid, vbuf[slot],
                              jnp.zeros_like(vbuf[slot]))
             # matched operand dtypes: bf16 block values halve HBM
@@ -249,12 +262,13 @@ def _spmm_kernel(ptr_ref, cols_ref, vals_hbm, x_ref, out_ref):
 
     pl.run_scoped(
         scoped,
-        pltpu.VMEM((2, _DMA_CHUNK, tb, tb), vals_hbm.dtype),
+        pltpu.VMEM((2, chunk, tb, tb), vals_hbm.dtype),
         pltpu.SemaphoreType.DMA((2,)),
     )
 
 
-def _spmm_kernel_stream(ptr_ref, cols_ref, vals_hbm, x_hbm, out_ref):
+def _spmm_kernel_stream(chunk, ptr_ref, cols_ref, vals_hbm, x_hbm,
+                        out_ref):
     """Large-N variant: x stays in HBM; the referenced (TB, FT) column
     blocks are gathered per adjacency block, double-buffered with the
     value DMAs (the resident-stripe variant needs n_pad*FT*4 bytes of
@@ -266,23 +280,23 @@ def _spmm_kernel_stream(ptr_ref, cols_ref, vals_hbm, x_hbm, out_ref):
     start = ptr_ref[i]
     end = ptr_ref[i + 1]
     num = end - start
-    nch = pl.cdiv(num, _DMA_CHUNK)
+    nch = pl.cdiv(num, chunk)
 
     def scoped(vbuf, xbuf, vsem, xsem):
         def val_dma(slot, c):
             return pltpu.make_async_copy(
-                vals_hbm.at[pl.ds(start + c * _DMA_CHUNK, _DMA_CHUNK)],
+                vals_hbm.at[pl.ds(start + c * chunk, chunk)],
                 vbuf.at[slot], vsem.at[slot])
 
         def x_dma(slot, c, k):
-            col = cols_ref[start + c * _DMA_CHUNK + k]  # pad cols are 0
+            col = cols_ref[start + c * chunk + k]  # pad cols are 0
             return pltpu.make_async_copy(
                 x_hbm.at[pl.ds(col * tb, tb), pl.ds(j * ft, ft)],
                 xbuf.at[slot, k], xsem.at[slot, k])
 
         def start_chunk(slot, c):
             val_dma(slot, c).start()
-            for k in range(_DMA_CHUNK):
+            for k in range(chunk):
                 x_dma(slot, c, k).start()
 
         @pl.when(nch > 0)
@@ -297,17 +311,17 @@ def _spmm_kernel_stream(ptr_ref, cols_ref, vals_hbm, x_hbm, out_ref):
                 start_chunk(jax.lax.rem(c + 1, 2), c + 1)
 
             val_dma(slot, c).wait()
-            valid = num - c * _DMA_CHUNK
+            valid = num - c * chunk
             # every started DMA must be waited (a leaked semaphore
             # signal would corrupt the slot's next reuse), but chunk
             # overrun reads the NEXT row tile's blocks — SELECT those
             # value blocks to zero, then contract the whole chunk in
             # ONE K = CHUNK*TB dot_general (serial TBxTB dots leave
             # the MXU issue-bound)
-            for k in range(_DMA_CHUNK):
+            for k in range(chunk):
                 x_dma(slot, c, k).wait()
             lane = jax.lax.broadcasted_iota(
-                jnp.int32, (_DMA_CHUNK, 1, 1), 0)
+                jnp.int32, (chunk, 1, 1), 0)
             vcat = jnp.where(lane < valid, vbuf[slot],
                              jnp.zeros_like(vbuf[slot]))
             return acc + jax.lax.dot_general(
@@ -321,12 +335,12 @@ def _spmm_kernel_stream(ptr_ref, cols_ref, vals_hbm, x_hbm, out_ref):
 
     pl.run_scoped(
         scoped,
-        pltpu.VMEM((2, _DMA_CHUNK, out_ref.shape[0], out_ref.shape[0]),
+        pltpu.VMEM((2, chunk, out_ref.shape[0], out_ref.shape[0]),
                    vals_hbm.dtype),
-        pltpu.VMEM((2, _DMA_CHUNK, out_ref.shape[0], out_ref.shape[1]),
+        pltpu.VMEM((2, chunk, out_ref.shape[0], out_ref.shape[1]),
                    x_hbm.dtype),
         pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2, _DMA_CHUNK)),
+        pltpu.SemaphoreType.DMA((2, chunk)),
     )
 
 
@@ -337,7 +351,8 @@ def _spmm_kernel_stream(ptr_ref, cols_ref, vals_hbm, x_hbm, out_ref):
 _STRIPE_VMEM_BUDGET = 8 * 1024 * 1024
 
 
-def _spmm_kernel_panel(ptr2_ref, cols_ref, vals_hbm, x_ref, out_ref):
+def _spmm_kernel_panel(chunk, ptr2_ref, cols_ref, vals_hbm, x_ref,
+                       out_ref):
     """Large-N variant: x is processed in VMEM-resident column PANELS.
 
     grid = (feat_tiles j, panels p, row_tiles i); the (panel_rows, FT)
@@ -360,12 +375,12 @@ def _spmm_kernel_panel(ptr2_ref, cols_ref, vals_hbm, x_ref, out_ref):
     start = ptr2_ref[i, p]
     end = ptr2_ref[i, p + 1]
     num = end - start
-    nch = pl.cdiv(num, _DMA_CHUNK)
+    nch = pl.cdiv(num, chunk)
 
     def scoped(vbuf, sems):
         def get_dma(slot, c):
             return pltpu.make_async_copy(
-                vals_hbm.at[pl.ds(start + c * _DMA_CHUNK, _DMA_CHUNK)],
+                vals_hbm.at[pl.ds(start + c * chunk, chunk)],
                 vbuf.at[slot], sems.at[slot])
 
         @pl.when(nch > 0)
@@ -380,18 +395,18 @@ def _spmm_kernel_panel(ptr2_ref, cols_ref, vals_hbm, x_ref, out_ref):
                 get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
 
             get_dma(slot, c).wait()
-            base = start + c * _DMA_CHUNK
-            valid = num - c * _DMA_CHUNK
+            base = start + c * chunk
+            valid = num - c * chunk
             # overrun blocks (chunk rounding) may reference columns
             # outside this panel: clamp the local tile index and SELECT
             # their value blocks to zero (see _spmm_kernel)
             xcat = jnp.stack([
                 x_ref[pl.ds(jnp.clip(
                     cols_ref[base + k] - p * pt, 0, pt - 1) * tb, tb), :]
-                for k in range(_DMA_CHUNK)
+                for k in range(chunk)
             ]).astype(vbuf.dtype)
             lane = jax.lax.broadcasted_iota(
-                jnp.int32, (_DMA_CHUNK, 1, 1), 0)
+                jnp.int32, (chunk, 1, 1), 0)
             vcat = jnp.where(lane < valid, vbuf[slot],
                              jnp.zeros_like(vbuf[slot]))
             return acc + jax.lax.dot_general(
@@ -405,7 +420,7 @@ def _spmm_kernel_panel(ptr2_ref, cols_ref, vals_hbm, x_ref, out_ref):
 
     pl.run_scoped(
         scoped,
-        pltpu.VMEM((2, _DMA_CHUNK, tb, tb), vals_hbm.dtype),
+        pltpu.VMEM((2, chunk, tb, tb), vals_hbm.dtype),
         pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -461,8 +476,9 @@ def _spmm_panel(bcsr: BlockCSR, x_pad: jnp.ndarray,
     )
     nnzb = bcsr.block_vals.shape[0]
     vb = bcsr.block_vals.dtype.itemsize
+    chunk = _pick_chunk(nnzb, bcsr.row_tiles * panels)
     partial = pl.pallas_call(
-        _spmm_kernel_panel,
+        functools.partial(_spmm_kernel_panel, chunk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((panels, n_pad, f_pad),
                                        jnp.float32),
@@ -497,10 +513,12 @@ def _spmm_padded(bcsr: BlockCSR, x_pad: jnp.ndarray,
         if (nnzb * tb > 2 * panels * n_pad
                 and panels * n_pad * f_pad * 4 <= _PANEL_PARTIALS_CAP):
             return _spmm_panel(bcsr, x_pad, feat_tile)
-        kernel = _spmm_kernel_stream
+        chunk = _pick_chunk(bcsr.block_vals.shape[0], bcsr.row_tiles)
+        kernel = functools.partial(_spmm_kernel_stream, chunk)
         x_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
-        kernel = _spmm_kernel
+        chunk = _pick_chunk(bcsr.block_vals.shape[0], bcsr.row_tiles)
+        kernel = functools.partial(_spmm_kernel, chunk)
         x_spec = pl.BlockSpec((n_pad, feat_tile), lambda i, j, *_: (0, j),
                               memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -52,27 +52,54 @@ def road_graph_edges(n: int, degree: int, band: int = 48,
 
 def time_chained(step_fn, x0, iters=32, reps=3, operands=()):
     """Time x -> step_fn(x, *operands) chained `iters` times inside ONE
-    jit; the carry dependency defeats result caching/CSE at every layer.
+    jit, anchored by a host fetch of a scalar that depends on the whole
+    chain.
 
-    Pass every large array (adjacency, dense matrix, BlockCSR pytree)
-    via `operands`, NOT a closure: closure-captured jax Arrays are
-    baked into the lowered module as literals, which on the axon
-    tunnel means a compile REQUEST carrying the whole array (a 16k
-    BlockCSR produced an HTTP 413 / multi-minute upload)."""
+    Every layer of this is load-bearing on the axon tunnel backend
+    (each was added after a measured pathology):
+      * in-jit chaining (fori_loop carry): amortizes the ~1 ms
+        per-dispatch floor over `iters` kernel applications;
+      * operands as jit ARGUMENTS, not closures: closure-captured jax
+        Arrays are baked into the lowered module as literals — a 16k
+        BlockCSR produced an HTTP 413 compile request;
+      * cross-dispatch carry (y = fn(y)): repeated identical calls are
+        served from a result cache (an 8192^2 dense matmul "measured"
+        2 us re-dispatched verbatim);
+      * the SCALAR FETCH anchor: `block_until_ready` does not reliably
+        wait on this backend (32 chained 8192^2 matmuls "completed" in
+        67 us under block_until_ready alone). float(jnp.sum(y)) cannot
+        lie — the value depends on every chained application.
+    The anchor's cost (~ms, variance-heavy d2h RTT) would swamp
+    microsecond ops, so it is cancelled by GROUP DIFFERENCING: time a
+    1-dispatch group and a 3-dispatch group of the same chained
+    executable, each ending in one fetch; (t3 - t1)/2 leaves only the
+    chained work plus a ~2 us enqueue per dispatch."""
     import jax
+    import jax.numpy as jnp
 
     def run(x, *ops):
         return jax.lax.fori_loop(
             0, iters, lambda i, v: step_fn(v, *ops), x)
 
     fn = jax.jit(run)
-    jax.block_until_ready(fn(x0, *operands))
+    sum_fn = jax.jit(jnp.sum)
+    y = fn(x0, *operands)
+    s = float(sum_fn(y))
+    assert s == s, "chain produced NaN"
+
+    def group(m):
+        nonlocal y
+        t0 = time.perf_counter()
+        for _ in range(m):
+            y = fn(y, *operands)
+        float(sum_fn(y))
+        return time.perf_counter() - t0
+
     best = float("inf")
     for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(x0, *operands)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
+        t1 = group(1)
+        t3 = group(3)
+        best = min(best, max(t3 - t1, 1e-9) / (2 * iters))
     return best
 
 
