@@ -46,8 +46,16 @@ def use_sharding_mesh(mesh):
         _ACTIVE_MESH = prev
 
 # Below this node count a dense (N, N) einsum beats the block-sparse
-# kernel outright (one MXU pass, no gather/indexing overhead).
-DENSE_THRESHOLD = 512
+# kernel. Measured crossover (scripts/crossover_bench.py, banded
+# degree-16 road graphs, TPU v5e, anchored timing): dense wins by
+# 4-6x through N=2048 and stays ahead through ~8k when the operand is
+# loop-resident (XLA hoists a one-time bf16 convert); in model use the
+# dense support streams N^2 * 4 bytes per call, which crosses the
+# block-CSR kernel's byte count (nnzb * TB^2 * 4) near N~4-6k for this
+# graph family — so 4096 is the default, overridable per graph via
+# `make_support(dense_threshold=...)` (denser or more scattered graphs
+# favor dense longer; HBM capacity caps dense at ~32k regardless).
+DENSE_THRESHOLD = 4096
 
 
 @jax.tree_util.register_pytree_node_class
