@@ -13,8 +13,10 @@ The headline value is the faster measured mode (`fast_mode` in the
 output; bf16's drift vs f32 is bounded by `tests/test_bf16_drift.py`—
 at reference scale the convert overhead can make f32 the faster). The
 reference publishes no throughput numbers (BASELINE.md §Throughput);
-`vs_baseline` is measured against the recorded first-round TPU number in
-BASELINE.json["recorded"] (an f32 measurement) when present, else 1.0.
+`vs_baseline` divides the headline by
+BASELINE.json["recorded"]["pretrain_samples_per_s"] when present (else
+1.0) — currently the round-3 anchored bf16 figure, so when `fast_mode`
+is float32 the ratio compares across precision modes.
 """
 
 from __future__ import annotations
@@ -74,11 +76,20 @@ def measure(cfg, k: int = 32, iters: int = 10, windows: int = 6) -> float:
     # step's loss — block_until_ready does not reliably wait on this
     # backend, but the fetched value depends on the entire window's
     # param chain. The anchor's own dispatch+fetch cost is subtracted.
-    anchor = float("inf")
-    for _ in range(3):
+    # Anchor cost = one sum dispatch + one d2h fetch, which is exactly
+    # what ends each window. Measured on DISTINCT argument values
+    # (totals + i): re-dispatching the identical sum_fn(totals) is
+    # served by the backend's verbatim-repeat result cache and times
+    # the cached RTT, not a real dispatch+fetch (ADVICE r3 #3). Median
+    # of 5 tames the ms-scale d2h variance a single sample inherits.
+    asum = jax.jit(lambda t, i: jnp.sum(t) + i)
+    anchor_samples = []
+    for i in range(5):
+        off = jnp.asarray(float(i), jnp.float32)
         t0 = time.perf_counter()
-        float(sum_fn(totals))
-        anchor = min(anchor, time.perf_counter() - t0)
+        float(asum(totals, off))
+        anchor_samples.append(time.perf_counter() - t0)
+    anchor = sorted(anchor_samples)[len(anchor_samples) // 2]
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()

@@ -31,14 +31,27 @@ def rcm_order(adj: np.ndarray) -> np.ndarray:
     neighbors land in nearby rows, so tiling into (TB, TB) blocks keeps
     most blocks empty and contiguous shards have small halos.
     """
-    n = adj.shape[0]
-    pattern = (adj != 0) | (adj.T != 0)
-    np.fill_diagonal(pattern, False)
-    degree = pattern.sum(axis=1)
+    rows, cols = np.nonzero(adj)
+    return rcm_order_coo(rows, cols, adj.shape[0])
+
+
+def rcm_order_coo(rows: np.ndarray, cols: np.ndarray,
+                  n: int) -> np.ndarray:
+    """RCM from an edge list — no dense (N, N) pattern (required beyond
+    ~16k nodes). Identical traversal to the dense version: min-degree
+    start per component, neighbors visited in stable degree order."""
+    r = np.concatenate([rows, cols]).astype(np.int64)
+    c = np.concatenate([cols, rows]).astype(np.int64)
+    keep = r != c
+    key = np.unique(r[keep] * n + c[keep])
+    r, c = key // n, key % n
+    ptr = np.zeros(n + 1, np.int64)
+    np.add.at(ptr, r + 1, 1)
+    ptr = np.cumsum(ptr)
+    degree = np.diff(ptr)
     visited = np.zeros(n, dtype=bool)
     order: list[int] = []
     while len(order) < n:
-        # start each component at its minimum-degree unvisited node
         start = int(np.flatnonzero(~visited)[
             np.argmin(degree[~visited])])
         visited[start] = True
@@ -46,7 +59,8 @@ def rcm_order(adj: np.ndarray) -> np.ndarray:
         while queue:
             u = queue.pop(0)
             order.append(u)
-            nbrs = np.flatnonzero(pattern[u] & ~visited)
+            nbrs = c[ptr[u]:ptr[u + 1]]
+            nbrs = nbrs[~visited[nbrs]]
             nbrs = nbrs[np.argsort(degree[nbrs], kind="stable")]
             visited[nbrs] = True
             queue.extend(int(v) for v in nbrs)

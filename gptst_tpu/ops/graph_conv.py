@@ -27,7 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gptst_tpu.kernels.spmm import BlockCSR, spmm
+from gptst_tpu.kernels.spmm import (
+    BlockCSR, COOTail, coo_matmul, spmm, split_coo_hybrid,
+)
 
 # Build-time sharding context: when a model is built under
 # `use_sharding_mesh(mesh)`, every `make_support` call routes graph
@@ -62,7 +64,10 @@ DENSE_THRESHOLD = 4096
 @dataclasses.dataclass
 class SparseSupport:
     """Block-CSR adjacency (+ its transpose, for the VJP), optionally
-    behind an RCM node permutation (`gptst_tpu/graph/partition.py`).
+    behind an RCM node permutation (`gptst_tpu/graph/partition.py`),
+    optionally with a COO straggler tail (edges whose blocks are too
+    empty to justify streaming a full TB^2 value block — see
+    `kernels/spmm.py:split_coo_hybrid`).
 
     With a permutation, `graph_matmul` computes Pᵀ (A_perm @ (P x)) so
     callers keep the original node order.
@@ -72,9 +77,12 @@ class SparseSupport:
     bcsr_t: BlockCSR
     perm: jnp.ndarray | None = None      # (N,) permuted pos -> original
     inv_perm: jnp.ndarray | None = None
+    coo: COOTail | None = None
+    coo_t: COOTail | None = None
 
     def tree_flatten(self):
-        return ((self.bcsr, self.bcsr_t, self.perm, self.inv_perm), ())
+        return ((self.bcsr, self.bcsr_t, self.perm, self.inv_perm,
+                 self.coo, self.coo_t), ())
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -83,7 +91,7 @@ class SparseSupport:
     @property
     def T(self) -> "SparseSupport":
         return SparseSupport(self.bcsr_t, self.bcsr, self.perm,
-                             self.inv_perm)
+                             self.inv_perm, self.coo_t, self.coo)
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -150,7 +158,8 @@ def make_sharded_support(adj: np.ndarray | None, mesh,
 
 
 def make_support(adj: np.ndarray, *, dense_threshold: int = DENSE_THRESHOLD,
-                 tile: int = 128, reorder: bool = True, mesh=None):
+                 tile: int = 128, reorder: bool = True, mesh=None,
+                 hybrid: bool = True):
     """Pick the aggregation representation for a precomputed support.
 
     Dense jnp array for small graphs; `SparseSupport` (block-CSR for
@@ -159,6 +168,8 @@ def make_support(adj: np.ndarray, *, dense_threshold: int = DENSE_THRESHOLD,
     nonzero block count (>10% — it helps banded/road graphs presented
     in scrambled order, but cannot help expander-like graphs, where
     the identity order avoids the runtime permutation gathers).
+    `hybrid=True` (default) routes edges in nearly-empty blocks through
+    the COO gather tail instead of streaming full value blocks.
 
     With a `mesh` whose 'graph' axis is >1, aggregation instead runs
     node-sharded through the explicit-collective paths
@@ -174,21 +185,36 @@ def make_support(adj: np.ndarray, *, dense_threshold: int = DENSE_THRESHOLD,
             return make_sharded_support(np.asarray(adj), mesh)
     if n <= dense_threshold:
         return jnp.asarray(adj, jnp.float32)
+    adj = np.asarray(adj)
+    rows, cols = np.nonzero(adj)
+    return make_support_coo(rows, cols, adj[rows, cols], n, tile=tile,
+                            reorder=reorder, hybrid=hybrid)
+
+
+def make_support_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+                     n: int, *, tile: int = 128, reorder: bool = True,
+                     hybrid: bool = True) -> SparseSupport:
+    """`SparseSupport` straight from an edge list (no dense (N, N)
+    materialization — required beyond ~16k nodes)."""
     perm = inv_perm = None
     if reorder:
-        from gptst_tpu.graph.partition import rcm_order
+        from gptst_tpu.graph.partition import rcm_order_coo
 
-        p = rcm_order(adj)
+        p = rcm_order_coo(rows, cols, n)
         inv = np.empty_like(p)
         inv[p] = np.arange(n)
-        rows, cols = np.nonzero(adj)
         if (_count_blocks(inv[rows], inv[cols], tile)
                 < 0.9 * _count_blocks(rows, cols, tile)):
-            adj = adj[p][:, p]
+            rows, cols = inv[rows], inv[cols]
             perm = jnp.asarray(p, jnp.int32)
             inv_perm = jnp.asarray(inv, jnp.int32)
-    bcsr, bcsr_t = BlockCSR.pair_from_dense(adj, tile=tile)
-    return SparseSupport(bcsr, bcsr_t, perm, inv_perm)
+    if hybrid:
+        bcsr, bcsr_t, coo, coo_t = split_coo_hybrid(rows, cols, vals, n,
+                                                    tile=tile)
+    else:
+        bcsr, bcsr_t = BlockCSR.pair_from_coo(rows, cols, vals, n, tile)
+        coo = coo_t = None
+    return SparseSupport(bcsr, bcsr_t, perm, inv_perm, coo, coo_t)
 
 
 def graph_matmul(support, x: jnp.ndarray) -> jnp.ndarray:
@@ -210,6 +236,8 @@ def graph_matmul(support, x: jnp.ndarray) -> jnp.ndarray:
         if support.perm is not None:
             x = jnp.take(x, support.perm, axis=-2)
         out = spmm(support.bcsr, support.bcsr_t, x)
+        if support.coo is not None:
+            out = out + coo_matmul(support.coo, x)
         if support.inv_perm is not None:
             out = jnp.take(out, support.inv_perm, axis=-2)
         return out

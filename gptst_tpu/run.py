@@ -47,6 +47,9 @@ def parse_args(argv: Optional[list[str]] = None):
     p.add_argument("-device_seed", type=int, default=None)
     p.add_argument("-profile_dir", type=str, default=None,
                    help="write a jax.profiler trace here during training")
+    p.add_argument("-metrics_out", type=str, default=None,
+                   help="write the final test report (per-horizon + "
+                        "average MAE/RMSE/MAPE/CORR) to this JSON file")
     # every FrameworkConfig field becomes an override flag
     fw_names = set()
     for f in dataclasses.fields(FrameworkConfig):
@@ -221,9 +224,16 @@ def main(argv: Optional[list[str]] = None) -> int:
     tr = Trainer(forward=forward, params=params, cfg=cfg, dataset=ds,
                  seed=cfg.seed, log_dir=log_dir, mesh=mesh)
 
+    def dump_metrics(report: dict) -> None:
+        if ns.metrics_out:
+            import json
+
+            with open(ns.metrics_out, "w") as f:
+                json.dump(report, f)
+
     if cfg.mode == "test":
         tr.load_checkpoint(os.path.join(log_dir, "best_model"))
-        tr.test()
+        dump_metrics(tr.test())
         return 0
 
     resume = str(ns.resume).strip().lower() in ("true", "1", "yes")
@@ -233,6 +243,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         tr.save_checkpoint(_pretrain_ckpt_path(cfg, save=True))
     logger.info("best loss: %.6f  avg MAE: %.4f", result["best_loss"],
                 result["report"]["average"][0])
+    dump_metrics(result["report"])
     return 0
 
 

@@ -1,0 +1,150 @@
+"""Hybrid block + COO aggregation (the 64k straggler-edge fix,
+VERDICT r3 weak #3): edges landing in nearly-empty blocks ride an XLA
+gather/segment-sum tail instead of streaming full TB^2 value blocks.
+
+Guarantees tested:
+  * the split partitions edges exactly (block part + tail == graph);
+  * `graph_matmul` on a hybrid SparseSupport == dense einsum, forward
+    and gradient, including the transposed support (`.T`);
+  * `make_support_coo` builds without a dense (N, N) and matches;
+  * RCM from COO == RCM from dense on the same graph.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gptst_tpu.graph.artifacts import random_sensor_graph, sym_adj
+from gptst_tpu.kernels import spmm as spmm_mod
+from gptst_tpu.kernels.spmm import coo_matmul, split_coo_hybrid
+from gptst_tpu.ops.graph_conv import (
+    SparseSupport, graph_matmul, make_support, make_support_coo,
+)
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        spmm_mod.pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+
+def _banded_plus_far(n, band, far, seed=0):
+    """Dense-banded core + `far` isolated long-range edges — the road
+    graph shape whose straggler blocks motivate the hybrid split."""
+    rng = np.random.default_rng(seed)
+    adj = np.zeros((n, n), np.float32)
+    for off in range(1, band + 1):
+        idx = np.arange(n - off)
+        adj[idx, idx + off] = rng.uniform(0.5, 1.0, size=idx.size)
+        adj[idx + off, idx] = rng.uniform(0.5, 1.0, size=idx.size)
+    fr = rng.integers(0, n, size=far)
+    fc = (fr + n // 2 + rng.integers(0, n // 4, size=far)) % n
+    keep = fr != fc
+    adj[fr[keep], fc[keep]] = 1.0
+    return adj
+
+
+def test_split_partitions_edges_exactly():
+    n, tile = 320, 64
+    adj = _banded_plus_far(n, band=12, far=40)
+    rows, cols = np.nonzero(adj)
+    vals = adj[rows, cols]
+    a, at, coo, coo_t = split_coo_hybrid(rows, cols, vals, n, tile=tile)
+    assert coo is not None and coo_t is not None
+    # tail holds only straggler edges; counts add up
+    nb_edges = int(np.count_nonzero(np.asarray(a.block_vals)))
+    assert nb_edges + coo.nnz == rows.size
+    assert coo_t.nnz == coo.nnz
+    # reassemble the dense matrix from both parts
+    dense = np.zeros((a.n_pad, a.n_pad), np.float32)
+    ptr = np.asarray(a.block_ptr)
+    bc = np.asarray(a.block_cols)
+    bv = np.asarray(a.block_vals)
+    for i in range(len(ptr) - 1):
+        for b in range(ptr[i], ptr[i + 1]):
+            dense[i * tile:(i + 1) * tile,
+                  bc[b] * tile:(bc[b] + 1) * tile] += bv[b]
+    dense = dense[:n, :n]
+    dense[np.asarray(coo.rows), np.asarray(coo.cols)] += np.asarray(
+        coo.vals)
+    np.testing.assert_allclose(dense, adj, rtol=1e-6)
+
+
+def test_coo_matmul_matches_dense():
+    n = 96
+    rng = np.random.default_rng(3)
+    rows = np.sort(rng.integers(0, n, size=50))
+    cols = rng.integers(0, n, size=50)
+    vals = rng.normal(size=50).astype(np.float32)
+    from gptst_tpu.kernels.spmm import COOTail
+
+    coo = COOTail(jnp.asarray(rows, jnp.int32), jnp.asarray(cols, jnp.int32),
+                  jnp.asarray(vals), n)
+    adj = np.zeros((n, n), np.float32)
+    np.add.at(adj, (rows, cols), vals)
+    x = np.asarray(rng.normal(size=(2, 5, n, 4)), np.float32)
+    got = coo_matmul(coo, jnp.asarray(x))
+    want = jnp.einsum("nm,btmc->btnc", jnp.asarray(adj), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("reorder", [False, True])
+def test_hybrid_matmul_and_grad_match_dense(reorder):
+    n, tile = 320, 64
+    adj = _banded_plus_far(n, band=12, far=40, seed=5)
+    sup = make_support(adj, dense_threshold=1, tile=tile, reorder=reorder)
+    assert isinstance(sup, SparseSupport)
+    assert sup.coo is not None  # the far edges must actually split
+
+    x = np.asarray(
+        np.random.default_rng(0).normal(size=(2, n, 8)), np.float32)
+    xd = jnp.asarray(x)
+    dense = jnp.asarray(adj)
+
+    got = graph_matmul(sup, xd)
+    want = jnp.einsum("nm,bmc->bnc", dense, xd)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    got_t = graph_matmul(sup.T, xd)
+    want_t = jnp.einsum("mn,bmc->bnc", dense, xd)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=2e-4, atol=2e-4)
+
+    def f_sparse(v):
+        return (graph_matmul(sup, v) ** 2).sum()
+
+    def f_dense(v):
+        return (jnp.einsum("nm,bmc->bnc", dense, v) ** 2).sum()
+
+    gs = jax.grad(f_sparse)(xd)
+    gd = jax.grad(f_dense)(xd)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_make_support_coo_matches_dense_build():
+    n, tile = 320, 64
+    adj = _banded_plus_far(n, band=12, far=40, seed=7)
+    rows, cols = np.nonzero(adj)
+    sup = make_support_coo(rows, cols, adj[rows, cols], n, tile=tile)
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(n, 8)), jnp.float32)
+    want = jnp.asarray(adj) @ x
+    np.testing.assert_allclose(np.asarray(graph_matmul(sup, x)),
+                               np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_rcm_coo_matches_dense():
+    from gptst_tpu.graph.partition import rcm_order, rcm_order_coo
+
+    adj = sym_adj(random_sensor_graph(60, avg_degree=4, seed=2))
+    rows, cols = np.nonzero(adj)
+    np.testing.assert_array_equal(rcm_order(adj),
+                                  rcm_order_coo(rows, cols, 60))
