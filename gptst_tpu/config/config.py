@@ -84,8 +84,12 @@ class FrameworkConfig:
     # precision policy: compute dtype for model internals ("float32"|"bfloat16")
     compute_dtype: str = "float32"
     # optimizer steps fused into one dispatch via lax.scan (1 = off);
-    # amortizes host->device dispatch latency (~10x at reference scale)
-    scan_steps: int = 1
+    # amortizes host->device dispatch latency (~10x at reference scale).
+    # 0 = auto (the default): the trainer uses 16 — the benched fast
+    # path — falling back to per-batch dispatch only where fusion can't
+    # apply (ragged tails fuse at their own width; the device-resident
+    # indexed gather additionally needs the split to fit in HBM)
+    scan_steps: int = 0
     # root of reference-format conf/<MODEL>/<DATASET>.conf predictor
     # configs; empty = use the built-in dataclass defaults
     predictor_conf_root: str = ""

@@ -533,18 +533,53 @@ def _build_gwn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     from gptst_tpu.models.predictors.gwn import GWN, GWNConfig
 
     pcfg = make_predictor_config(GWNConfig, cfg, num_nodes=cfg.num_nodes)
-    # conf/GWN/*: aptonly=True -> no static supports, adaptive adj only.
-    # With aptonly=False, doubletransition supports (`GWN.py:299-313`)
-    # take the dense/block-sparse path picked by node count.
+    # adjtype preprocessing (`GWN.py:299-313`); shipped confs use
+    # doubletransition. aptonly=True then DROPS the static supports for
+    # the forward pass, but `aptinit = supports[0]` is taken first
+    # (`GWN.py:143-149`) — so the matrices are built whenever either
+    # consumer needs them.
+    from gptst_tpu.graph.artifacts import (
+        asym_adj, scaled_laplacian, sym_adj, sym_norm_laplacian,
+    )
+
+    def adj_mats():
+        t = pcfg.adjtype
+        if t == "doubletransition":
+            return [asym_adj(adj), asym_adj(adj.T)]
+        if t == "transition":
+            return [asym_adj(adj)]
+        if t == "symnadj":
+            return [sym_adj(adj)]
+        if t == "scalap":
+            return [np.asarray(scaled_laplacian(adj), np.float32)]
+        if t == "normlap":
+            return [np.asarray(sym_norm_laplacian(adj), np.float32)]
+        if t == "identity":
+            return [np.eye(adj.shape[0], dtype=np.float32)]
+        raise ValueError(f"adj type not defined: {t}")
+
+    mats = None
     if pcfg.aptonly:
         supports = ()
     else:
-        from gptst_tpu.graph.artifacts import asym_adj
-
-        supports = (make_support(asym_adj(adj)),
-                    make_support(asym_adj(adj.T)))
+        mats = adj_mats()
+        supports = tuple(make_support(m) for m in mats)
+    nodevec_init = None
+    if pcfg.gcn_bool and pcfg.addaptadj and not pcfg.randomadj:
+        # SVD-seeded nodevecs (`GWN.py:159-175`): E1 = U_k sqrt(S_k),
+        # E2 = sqrt(S_k) V_k^T of supports[0]
+        if mats is None:
+            mats = adj_mats()
+        u, s, vh = np.linalg.svd(mats[0].astype(np.float64))
+        k = pcfg.adapt_rank
+        emb1 = (u[:, :k] * np.sqrt(s[:k])).astype(np.float32)
+        emb2 = (np.sqrt(s[:k])[:, None] * vh[:k]).astype(np.float32)
+        nodevec_init = (
+            lambda rng, shape, dtype=jnp.float32: jnp.asarray(emb1, dtype),
+            lambda rng, shape, dtype=jnp.float32: jnp.asarray(emb2, dtype),
+        )
     model = GWN(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
-                horizon=cfg.horizon)
+                horizon=cfg.horizon, nodevec_init=nodevec_init)
 
     def init_fn(rng):
         x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)

@@ -38,6 +38,12 @@ class GWNConfig:
     gcn_bool: bool = True
     addaptadj: bool = True
     aptonly: bool = True
+    # support preprocessing (`GWN.py:299-313`) and the nodevec init
+    # source: randomadj=False seeds the adaptive adjacency from the
+    # rank-10 SVD of supports[0] (`GWN.py:159-175`); every shipped conf
+    # uses randomadj=True (random normal nodevecs)
+    adjtype: str = "doubletransition"
+    randomadj: bool = True
     kernel_size: int = 2
     nhid: int = 32
     residual_channels: int = 32
@@ -72,12 +78,18 @@ class DilatedCausal(nn.Module):
 
 
 class GWN(nn.Module):
-    """x: (B, T, N, dim_in) -> (B, horizon, N, dim_out)."""
+    """x: (B, T, N, dim_in) -> (B, horizon, N, dim_out).
+
+    `nodevec_init`: optional (init1, init2) flax initializers for the
+    adaptive-adjacency embeddings — the SVD-seeded `randomadj=False`
+    branch (`GWN.py:159-175`, built by `models/build.py:_build_gwn`).
+    """
 
     cfg: GWNConfig
     dim_in: int
     dim_out: int
     horizon: int
+    nodevec_init: tuple | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, supports: tuple = (), *,
@@ -93,10 +105,11 @@ class GWN(nn.Module):
         # reproduces it exactly
         sup = [s.T for s in supports]
         if c.gcn_bool and c.addaptadj:
-            e1 = self.param("nodevec1", nn.initializers.normal(1.0),
-                            (c.num_nodes, c.adapt_rank))
-            e2 = self.param("nodevec2", nn.initializers.normal(1.0),
-                            (c.adapt_rank, c.num_nodes))
+            i1, i2 = (self.nodevec_init if self.nodevec_init is not None
+                      else (nn.initializers.normal(1.0),
+                            nn.initializers.normal(1.0)))
+            e1 = self.param("nodevec1", i1, (c.num_nodes, c.adapt_rank))
+            e2 = self.param("nodevec2", i2, (c.adapt_rank, c.num_nodes))
             sup = sup + [adaptive_adj(e1, e2).T]
 
         x = nn.Dense(c.residual_channels, name="start_conv")(x)

@@ -193,7 +193,8 @@ def make_support(adj: np.ndarray, *, dense_threshold: int = DENSE_THRESHOLD,
 
 def make_support_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
                      n: int, *, tile: int = 128, reorder: bool = True,
-                     hybrid: bool = True) -> SparseSupport:
+                     hybrid: bool = True,
+                     vals_dtype=jnp.float32) -> SparseSupport:
     """`SparseSupport` straight from an edge list (no dense (N, N)
     materialization — required beyond ~16k nodes)."""
     perm = inv_perm = None
@@ -209,10 +210,11 @@ def make_support_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
             perm = jnp.asarray(p, jnp.int32)
             inv_perm = jnp.asarray(inv, jnp.int32)
     if hybrid:
-        bcsr, bcsr_t, coo, coo_t = split_coo_hybrid(rows, cols, vals, n,
-                                                    tile=tile)
+        bcsr, bcsr_t, coo, coo_t = split_coo_hybrid(
+            rows, cols, vals, n, tile=tile, vals_dtype=vals_dtype)
     else:
-        bcsr, bcsr_t = BlockCSR.pair_from_coo(rows, cols, vals, n, tile)
+        bcsr, bcsr_t = BlockCSR.pair_from_coo(rows, cols, vals, n, tile,
+                                              vals_dtype)
         coo = coo_t = None
     return SparseSupport(bcsr, bcsr_t, perm, inv_perm, coo, coo_t)
 

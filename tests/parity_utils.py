@@ -47,6 +47,84 @@ def transplant_stgcn(p, ref):
     return p
 
 
+def transplant_astgcn(params, ref):
+    """Copy a reference ASTGCN's weights (`model/ASTGCN/ASTGCN.py`)
+    into our flax param tree (mutates and returns `params`)."""
+
+    def conv2d(conv):
+        # torch (out, in, 1, kt) on (B,C,N,T) -> flax (kt, 1, in, out)
+        w = conv.weight.detach().numpy()
+        return {"kernel": w.transpose(3, 2, 1, 0),
+                "bias": conv.bias.detach().numpy()}
+
+    for i, blk in enumerate(ref.BlockList):
+        tat, sat = blk.TAt, blk.SAt
+        params[f"ASTGCNBlock_{i}"] = {
+            "TemporalAttention_0": {
+                "U1": tat.U1.detach().numpy(),
+                "U2": tat.U2.detach().numpy(),
+                "U3": tat.U3.detach().numpy(),
+                "be": tat.be.detach().numpy(),
+                "Ve": tat.Ve.detach().numpy()},
+            "SpatialAttention_0": {
+                "W1": sat.W1.detach().numpy(),
+                "W2": sat.W2.detach().numpy(),
+                "W3": sat.W3.detach().numpy(),
+                "bs": sat.bs.detach().numpy(),
+                "Vs": sat.Vs.detach().numpy()},
+            "Theta": np.stack([t.detach().numpy()
+                               for t in blk.cheb_conv_SAt.Theta]),
+            "time_conv": conv2d(blk.time_conv),
+            "residual_conv": conv2d(blk.residual_conv),
+            "LayerNorm_0": {"scale": blk.ln.weight.detach().numpy(),
+                            "bias": blk.ln.bias.detach().numpy()},
+        }
+    fw = ref.final_conv.weight.detach().numpy()   # (T_out*D, T, 1, F)
+    params["final_w"] = fw[:, :, 0, :].transpose(1, 2, 0)
+    params["final_b"] = ref.final_conv.bias.detach().numpy()
+    return params
+
+
+def lin(linear):
+    """torch nn.Linear -> flax Dense params."""
+    return {"kernel": linear.weight.detach().numpy().T,
+            "bias": linear.bias.detach().numpy()}
+
+
+def transplant_ccrnn(params, ref, khop):
+    """Copy a reference EvoNN2's weights (`model/CCRNN_demand/CCRNN.py`)
+    into our flax CCRNN param tree (mutates and returns `params`). The
+    reference's diffusion features are (input, matrix)-major; ours are
+    (matrix, input)-major, so linear weights permute on transplant."""
+    num_m = khop + 1
+
+    def gconv(linear):  # permute (i, m)-major cols -> (m, i)-major rows
+        w = linear.weight.detach().numpy().T     # (I*M, out), i-major
+        i_sz = w.shape[0] // num_m
+        w = w.reshape(i_sz, num_m, -1).transpose(1, 0, 2) \
+            .reshape(num_m * i_sz, -1)
+        return {"kernel": w, "bias": linear.bias.detach().numpy()}
+
+    def evo(ev):
+        return {"gconv0": gconv(ev.graphconv[0].out),
+                "attlinear": lin(ev.attlinear)}
+
+    def cell(dc):
+        return {"ru": evo(dc.ru_gate_g_conv),
+                "cand": evo(dc.candidate_g_conv)}
+
+    params["nodevec1"] = ref.nodevec1.detach().numpy()
+    params["nodevec2"] = ref.nodevec2.detach().numpy()
+    params["w1"] = ref.w1.detach().numpy()
+    params["w2"] = ref.w2.detach().numpy()
+    params["b1"] = ref.b1.detach().numpy()
+    params["b2"] = ref.b2.detach().numpy()
+    params["Scan_EncoderStep_0"] = {"cell0": cell(ref.encoder[0])}
+    params["Scan_DecoderStep_0"] = {"cell0": cell(ref.decoder[0]),
+                                    "out": lin(ref.decoder.out)}
+    return params
+
+
 def as_numpy_tree(params):
     import jax
 

