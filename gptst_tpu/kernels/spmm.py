@@ -686,6 +686,168 @@ spmm.defvjp(_spmm_fwd, _spmm_bwd)
 
 
 # --------------------------------------------------------------------------
+# Diagonal-band (DIA) variant — banded graphs after the hybrid split
+# --------------------------------------------------------------------------
+#
+# Once straggler edges ride the COO tail, the remaining blocks of a
+# road graph are a narrow tile-diagonal band (RCM ordering makes this
+# typical, not special). The general kernels pay for generality: the
+# resident-stripe variant caps at ~16k nodes of VMEM, and the
+# streaming-gather variant re-reads each x tile once per referencing
+# row tile (~(2W+1)x for half-bandwidth W) through per-block dynamic
+# DMAs. The DIA layout stores the band as (row_tiles, 2W+1, TB, TB)
+# and feeds the kernel x through 2W+1 statically-indexed BlockSpecs
+# (i+d-W, clamped) — no scalar prefetch, no dynamic slicing, one
+# K=(2W+1)*TB MXU contraction per (row tile, feature tile). Out-of-
+# range window blocks are harmless: their value blocks are structural
+# zeros by construction.
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DIABand:
+    """Tile-diagonal band storage: vals[i, d] is block (i, i + d - w)."""
+
+    vals: jnp.ndarray    # (row_tiles, 2w+1, TB, TB)
+    w: int               # half-bandwidth in tiles
+    n: int
+    n_pad: int
+    tile: int
+
+    def tree_flatten(self):
+        return ((self.vals,), (self.w, self.n, self.n_pad, self.tile))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def row_tiles(self) -> int:
+        return self.n_pad // self.tile
+
+
+# Widest band the DIA path accepts (2*w+1 diagonals of VMEM-resident
+# x blocks + the vals block per grid step; w=5 -> ~1.4 MB at ft=128).
+_DIA_MAX_W = 5
+# Minimum fraction of the band's block slots that must be nonzero —
+# below this DIA streams too many structural-zero blocks and the
+# general block-CSR kernels win.
+_DIA_MIN_FILL = 0.4
+
+
+def dia_pair_from_coo(rows: np.ndarray, cols: np.ndarray,
+                      vals: np.ndarray, n: int, tile: int = 128,
+                      vals_dtype=jnp.float32
+                      ) -> tuple["DIABand", "DIABand"] | None:
+    """(A, A^T) in DIA layout, or None when the edge set is not a
+    narrow/dense-enough tile band."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    if rows.size == 0:
+        return None
+    n_pad = _round_up(n, tile)
+    rt = n_pad // tile
+    br, bc = rows // tile, cols // tile
+    d = bc - br
+    w = int(max(d.max(), -d.min()))
+    if w > _DIA_MAX_W:
+        return None
+    nblocks = np.unique(br * rt + bc).size
+    if nblocks < _DIA_MIN_FILL * min(rt * (2 * w + 1), rt * rt):
+        return None
+    dense = np.zeros((rt, 2 * w + 1, tile, tile), np.float32)
+    np.add.at(dense, (br, d + w, rows % tile, cols % tile),
+              vals.astype(np.float32))
+    a = DIABand(jnp.asarray(dense, vals_dtype), w, n, n_pad, tile)
+    # A^T: block (i, i+d-w)^T lands at row i+d-w, diagonal -d
+    dense_t = np.zeros_like(dense)
+    for dd in range(2 * w + 1):
+        off = dd - w
+        src = dense[:, dd].transpose(0, 2, 1)   # (rt, TB, TB)
+        if off >= 0:
+            dense_t[off:rt, 2 * w - dd][: rt - off] = src[: rt - off]
+        else:
+            dense_t[: rt + off, 2 * w - dd] = src[-off:]
+    at = DIABand(jnp.asarray(dense_t, vals_dtype), w, n, n_pad, tile)
+    return a, at
+
+
+def _dia_kernel(ndiag, vals_ref, *refs):
+    *x_refs, out_ref = refs
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for d in range(ndiag):
+        acc += jax.lax.dot(vals_ref[0, d],
+                           x_refs[d][:].astype(vals_ref.dtype),
+                           preferred_element_type=jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _dia_impl(dia: DIABand, x: jnp.ndarray) -> jnp.ndarray:
+    *lead, n, c = x.shape
+    assert n == dia.n, (n, dia.n)
+    flat = jnp.moveaxis(x.reshape(-1, n, c), 1, 0).reshape(n, -1)
+    f = flat.shape[1]
+    feat_tile = _round_up(min(max(f, 128), 512), 128)
+    f_pad = _round_up(f, feat_tile)
+    x_pad = jnp.zeros((dia.n_pad, f_pad), x.dtype)
+    x_pad = x_pad.at[:n, :f].set(flat)
+
+    tb, w = dia.tile, dia.w
+    ndiag = 2 * w + 1
+    rt = dia.row_tiles
+
+    def x_spec(d):
+        return pl.BlockSpec(
+            (tb, feat_tile),
+            lambda i, j, d=d: (jnp.clip(i + d - w, 0, rt - 1), j),
+            memory_space=pltpu.VMEM)
+
+    vb = dia.vals.dtype.itemsize
+    out = pl.pallas_call(
+        functools.partial(_dia_kernel, ndiag),
+        grid=(rt, f_pad // feat_tile),
+        in_specs=[
+            pl.BlockSpec((1, ndiag, tb, tb), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *[x_spec(d) for d in range(ndiag)],
+        ],
+        out_specs=pl.BlockSpec((tb, feat_tile), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((dia.n_pad, f_pad), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rt * ndiag * tb * tb * f_pad,
+            bytes_accessed=(rt * ndiag * tb * tb * vb
+                            * (f_pad // feat_tile)
+                            + (ndiag + 1) * dia.n_pad * f_pad * 4),
+            transcendentals=0),
+    )(dia.vals, *([x_pad] * ndiag))
+    out = out[:n, :f]
+    return jnp.moveaxis(out.reshape(n, -1, c), 0, 1).reshape(*lead, n, c)
+
+
+@jax.custom_vjp
+def dia_matmul(dia: DIABand, dia_t: DIABand, x: jnp.ndarray) -> jnp.ndarray:
+    """A @ x for a DIA-banded adjacency. x: (..., N, C). The band is a
+    constant graph artifact — no cotangent flows to the band values
+    (learned adjacencies take the block-CSR/SDDMM path)."""
+    return _dia_impl(dia, x)
+
+
+def _dia_fwd(dia, dia_t, x):
+    return _dia_impl(dia, x), (dia, dia_t)
+
+
+def _dia_bwd(res, g):
+    dia, dia_t = res
+    zero = jax.tree.map(jnp.zeros_like, dia)
+    zero_t = jax.tree.map(jnp.zeros_like, dia_t)
+    return (zero, zero_t, _dia_impl(dia_t, g))
+
+
+dia_matmul.defvjp(_dia_fwd, _dia_bwd)
+
+
+# --------------------------------------------------------------------------
 # Hybrid block + COO representation
 # --------------------------------------------------------------------------
 #
@@ -744,6 +906,23 @@ def _coo_split_edges(tile: int) -> int:
     return max(1, tile * tile // 512)
 
 
+def coo_split_mask(rows: np.ndarray, cols: np.ndarray, n: int,
+                   tile: int = 128,
+                   min_edges: int | None = None) -> np.ndarray:
+    """Boolean mask: True for edges whose block is dense enough for
+    the block path (shared by `split_coo_hybrid` and the DIA builder
+    in `ops/graph_conv.make_support_coo`)."""
+    if min_edges is None:
+        min_edges = _coo_split_edges(tile)
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    rt = _round_up(n, tile) // tile
+    key = (rows // tile) * rt + cols // tile
+    _, inv, counts = np.unique(key, return_inverse=True,
+                               return_counts=True)
+    return counts[inv] >= min_edges
+
+
 def split_coo_hybrid(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
                      n: int, tile: int = 128,
                      min_edges: int | None = None,
@@ -755,16 +934,10 @@ def split_coo_hybrid(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     empty (an empty tail returns None; an empty block part yields the
     1-zero-block BlockCSR `_from_blocks` already emits).
     """
-    if min_edges is None:
-        min_edges = _coo_split_edges(tile)
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     vals = np.asarray(vals, np.float32)
-    rt = _round_up(n, tile) // tile
-    key = (rows // tile) * rt + cols // tile
-    uniq, inv, counts = np.unique(key, return_inverse=True,
-                                  return_counts=True)
-    dense = counts[inv] >= min_edges
+    dense = coo_split_mask(rows, cols, n, tile, min_edges)
     a, at = BlockCSR.pair_from_coo(rows[dense], cols[dense], vals[dense],
                                    n, tile, vals_dtype)
     if dense.all():

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gptst_tpu.kernels.spmm import (
-    BlockCSR, COOTail, coo_matmul, spmm, split_coo_hybrid,
+    BlockCSR, COOTail, DIABand, coo_matmul, coo_split_mask,
+    dia_matmul, dia_pair_from_coo, spmm, split_coo_hybrid,
 )
 
 # Build-time sharding context: when a model is built under
@@ -79,10 +80,15 @@ class SparseSupport:
     inv_perm: jnp.ndarray | None = None
     coo: COOTail | None = None
     coo_t: COOTail | None = None
+    # DIA band for the block part when it is a narrow tile-diagonal
+    # band (typical for road graphs after RCM + the hybrid split);
+    # `graph_matmul` prefers it over the block-CSR kernels
+    dia: DIABand | None = None
+    dia_t: DIABand | None = None
 
     def tree_flatten(self):
         return ((self.bcsr, self.bcsr_t, self.perm, self.inv_perm,
-                 self.coo, self.coo_t), ())
+                 self.coo, self.coo_t, self.dia, self.dia_t), ())
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -91,7 +97,8 @@ class SparseSupport:
     @property
     def T(self) -> "SparseSupport":
         return SparseSupport(self.bcsr_t, self.bcsr, self.perm,
-                             self.inv_perm, self.coo_t, self.coo)
+                             self.inv_perm, self.coo_t, self.coo,
+                             self.dia_t, self.dia)
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -209,14 +216,23 @@ def make_support_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
             rows, cols = inv[rows], inv[cols]
             perm = jnp.asarray(p, jnp.int32)
             inv_perm = jnp.asarray(inv, jnp.int32)
+    dia = dia_t = None
     if hybrid:
         bcsr, bcsr_t, coo, coo_t = split_coo_hybrid(
             rows, cols, vals, n, tile=tile, vals_dtype=vals_dtype)
+        # DIA layout for the block part when it forms a narrow dense
+        # tile band (the constant-artifact fast path; `kernels/spmm.py`)
+        mask = coo_split_mask(rows, cols, n, tile)
+        pair = dia_pair_from_coo(rows[mask], cols[mask], vals[mask], n,
+                                 tile, vals_dtype)
+        if pair is not None:
+            dia, dia_t = pair
     else:
         bcsr, bcsr_t = BlockCSR.pair_from_coo(rows, cols, vals, n, tile,
                                               vals_dtype)
         coo = coo_t = None
-    return SparseSupport(bcsr, bcsr_t, perm, inv_perm, coo, coo_t)
+    return SparseSupport(bcsr, bcsr_t, perm, inv_perm, coo, coo_t,
+                         dia, dia_t)
 
 
 def graph_matmul(support, x: jnp.ndarray) -> jnp.ndarray:
@@ -237,7 +253,10 @@ def graph_matmul(support, x: jnp.ndarray) -> jnp.ndarray:
     if isinstance(support, SparseSupport):
         if support.perm is not None:
             x = jnp.take(x, support.perm, axis=-2)
-        out = spmm(support.bcsr, support.bcsr_t, x)
+        if support.dia is not None:
+            out = dia_matmul(support.dia, support.dia_t, x)
+        else:
+            out = spmm(support.bcsr, support.bcsr_t, x)
         if support.coo is not None:
             out = out + coo_matmul(support.coo, x)
         if support.inv_perm is not None:

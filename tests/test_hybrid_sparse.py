@@ -148,3 +148,72 @@ def test_rcm_coo_matches_dense():
     rows, cols = np.nonzero(adj)
     np.testing.assert_array_equal(rcm_order(adj),
                                   rcm_order_coo(rows, cols, 60))
+
+
+def test_dia_band_matmul_matches_dense():
+    """DIA fast path: banded core routes through dia_matmul (fwd + the
+    transposed band in the VJP) with dense-einsum numerics."""
+    from gptst_tpu.kernels.spmm import dia_pair_from_coo
+
+    n, tile = 320, 64
+    adj = _banded_plus_far(n, band=12, far=0, seed=11)  # pure band
+    rows, cols = np.nonzero(adj)
+    pair = dia_pair_from_coo(rows, cols, adj[rows, cols], n, tile=tile)
+    assert pair is not None
+    dia, dia_t = pair
+    assert dia.w == 1
+
+    from gptst_tpu.kernels.spmm import dia_matmul
+
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(2, n, 8)), jnp.float32)
+    dense = jnp.asarray(adj)
+    got = dia_matmul(dia, dia_t, x)
+    want = jnp.einsum("nm,bmc->bnc", dense, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # transpose path == dense transpose
+    got_t = dia_matmul(dia_t, dia, x)
+    want_t = jnp.einsum("mn,bmc->bnc", dense, x)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=2e-4, atol=2e-4)
+    # gradient flows through the transposed band
+    g = jax.grad(lambda v: (dia_matmul(dia, dia_t, v) ** 2).sum())(x)
+    gd = jax.grad(lambda v: (
+        jnp.einsum("nm,bmc->bnc", dense, v) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gd),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_make_support_coo_selects_dia_and_matches():
+    """Banded + far edges: the support carries a DIA band for the core
+    AND the COO tail for stragglers; graph_matmul == dense einsum."""
+    n, tile = 320, 64
+    adj = _banded_plus_far(n, band=12, far=40, seed=13)
+    rows, cols = np.nonzero(adj)
+    sup = make_support_coo(rows, cols, adj[rows, cols], n, tile=tile,
+                           reorder=False)
+    assert sup.dia is not None and sup.coo is not None
+
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, n, 8)), jnp.float32)
+    dense = jnp.asarray(adj)
+    got = graph_matmul(sup, x)
+    want = jnp.einsum("nm,bmc->bnc", dense, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    got_t = graph_matmul(sup.T, x)
+    want_t = jnp.einsum("mn,bmc->bnc", dense, x)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_dia_rejects_wide_or_sparse_bands():
+    from gptst_tpu.kernels.spmm import dia_pair_from_coo
+
+    n, tile = 640, 64
+    # wide band: blocks at distance 8 tiles
+    rows = np.arange(n - 512)
+    cols = rows + 512
+    assert dia_pair_from_coo(rows, cols, np.ones(rows.size), n,
+                             tile=tile) is None
