@@ -254,10 +254,19 @@ def main() -> None:
     # stays ONE JSON line
     sparse = {}
     for nn_ in (16384, 65536):
-        try:
-            sparse[str(nn_)] = measure_sparse_model(nn_)
-        except Exception as e:  # OOM/backend hiccup must not kill bench
-            sparse[str(nn_)] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        # the tunneled compile service rejects the largest modules
+        # (batch 8 at 64k nodes -> tpu_compile_helper crash); fall back
+        # to smaller batches rather than losing the measurement
+        last_err = None
+        for b in (8, 4, 2):
+            try:
+                sparse[str(nn_)] = dict(measure_sparse_model(nn_, batch=b),
+                                        batch=b)
+                break
+            except Exception as e:
+                last_err = f"{type(e).__name__}: {e}"[:200]
+        else:
+            sparse[str(nn_)] = {"error": last_err}
     out["sparse_tgcn_train_step"] = sparse
     print(json.dumps(out))
 

@@ -782,12 +782,31 @@ def _dia_kernel(ndiag, vals_ref, *refs):
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
+def _dia_feat_tile(dia: DIABand, f: int) -> int:
+    """Feature tile minimizing total traffic: x-window bytes scale
+    with round_up(f, ft) — (2w+1)+1 passes over the padded width —
+    while the band re-streams once per feature tile. A model fold of
+    B*T*C lands on awkward widths (e.g. 520), where ft=512 pads the
+    dominant x term 2x; picking by the byte model instead of "widest
+    tile" recovers it."""
+    ndiag = 2 * dia.w + 1
+    band = dia.row_tiles * ndiag * dia.tile * dia.tile \
+        * dia.vals.dtype.itemsize
+
+    def cost(ft):
+        f_pad = _round_up(f, ft)
+        return ((ndiag + 1) * dia.n_pad * f_pad * 4
+                + band * (f_pad // ft))
+
+    return min((512, 384, 256, 128), key=cost)
+
+
 def _dia_impl(dia: DIABand, x: jnp.ndarray) -> jnp.ndarray:
     *lead, n, c = x.shape
     assert n == dia.n, (n, dia.n)
     flat = jnp.moveaxis(x.reshape(-1, n, c), 1, 0).reshape(n, -1)
     f = flat.shape[1]
-    feat_tile = _round_up(min(max(f, 128), 512), 128)
+    feat_tile = _dia_feat_tile(dia, f)
     f_pad = _round_up(f, feat_tile)
     x_pad = jnp.zeros((dia.n_pad, f_pad), x.dtype)
     x_pad = x_pad.at[:n, :f].set(flat)

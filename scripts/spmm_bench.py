@@ -249,10 +249,13 @@ def main() -> None:
     else:
         block_bytes = (nnzb * args.tile * args.tile * vb
                        + 2 * n * args.feat * 4)
-    # COO tail adds the x row gather (e*feat) and two extra (n, feat)
-    # passes (segment-sum output materialized, then added)
+    # COO tail adds the x row gather (e*feat) and one extra (n, feat)
+    # pass: the segment-sum output materializes once and its read
+    # fuses into the final add with the kernel output (charging it a
+    # second standalone pass pushed the 16k bf16 row to a measured-
+    # impossible 1.06 SoL — the model, not the kernel, was wrong)
     bytes_step = block_bytes + (
-        n_coo * args.feat * 4 + 2 * n * args.feat * 4 if n_coo else 0)
+        n_coo * args.feat * 4 + n * args.feat * 4 if n_coo else 0)
     sol_time = bytes_step / (args.hbm_gbps * 1e9)
 
     problems = []
