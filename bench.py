@@ -102,8 +102,8 @@ def measure(cfg, k: int = 32, iters: int = 10, windows: int = 6) -> float:
     return cfg.batch_size / best
 
 
-def measure_sparse_model(n: int, batch: int = 8,
-                         iters: int = 8) -> dict:
+def measure_sparse_model(n: int, batch: int = 8, iters: int = 8,
+                         dtype: str = "float32") -> dict:
     """Full TGCN train step (fwd + MAE + grads + Adam) at large N
     through the hybrid sparse aggregation path on this backend
     (VERDICT r3 weak #2: every model-level number on record was N=170
@@ -139,11 +139,28 @@ def measure_sparse_model(n: int, batch: int = 8,
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
     opt_state = tx.init(params)
 
+    # dtype='bfloat16' applies the product mixed-precision recipe
+    # (`train/step.py:make_loss_terms`): master params + Adam stay f32,
+    # the forward runs on a bf16 cast of params + inputs. The step is
+    # elementwise-GRU-bound, so halved activation traffic is the
+    # relevant fast mode at scale.
+    bf16 = dtype == "bfloat16"
+
+    def _cast(t):
+        return jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+
     def train_step(carry, x, y, s):
         p, o = carry
 
         def loss_fn(q):
-            return jnp.abs(model.apply(q, x, s) - y).mean()
+            if bf16:
+                q, x_, y_ = _cast(q), _cast(x), y
+            else:
+                x_, y_ = x, y
+            pred = model.apply(q, x_, s).astype(jnp.float32)
+            return jnp.abs(pred - y_).mean()
 
         _, grads = jax.value_and_grad(loss_fn)(p)
         updates, o = tx.update(grads, o, p)
@@ -253,20 +270,24 @@ def main() -> None:
     # block+COO aggregation at 16k/64k nodes) — nested so the output
     # stays ONE JSON line
     sparse = {}
-    for nn_ in (16384, 65536):
-        # the tunneled compile service rejects the largest modules
-        # (batch 8 at 64k nodes -> tpu_compile_helper crash); fall back
-        # to smaller batches rather than losing the measurement
+    # the tunneled compile service rejects the largest modules (batch 8
+    # at 64k nodes -> tpu_compile_helper crash); per-size batch ladders
+    # fall back rather than losing the measurement
+    cases = [("16384", 16384, (8, 4, 2), "float32"),
+             ("16384_bf16", 16384, (8, 4, 2), "bfloat16"),
+             ("65536", 65536, (4, 2), "float32")]
+    for key, nn_, ladder, dt in cases:
         last_err = None
-        for b in (8, 4, 2):
+        for b in ladder:
             try:
-                sparse[str(nn_)] = dict(measure_sparse_model(nn_, batch=b),
-                                        batch=b)
+                sparse[key] = dict(
+                    measure_sparse_model(nn_, batch=b, dtype=dt),
+                    batch=b, dtype=dt)
                 break
             except Exception as e:
                 last_err = f"{type(e).__name__}: {e}"[:200]
         else:
-            sparse[str(nn_)] = {"error": last_err}
+            sparse[key] = {"error": last_err}
     out["sparse_tgcn_train_step"] = sparse
     print(json.dumps(out))
 

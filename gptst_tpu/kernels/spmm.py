@@ -907,12 +907,14 @@ class COOTail:
 def coo_matmul(coo: COOTail, x: jnp.ndarray) -> jnp.ndarray:
     """coo @ x over the node axis via gather + segment_sum (plain XLA,
     natively differentiable — AD transposes the gather into the
-    matching scatter-add). x: (..., N, C)."""
-    xg = jnp.take(x, coo.cols, axis=-2)          # (..., e, C)
+    matching scatter-add). x: (..., N, C). Accumulates in f32 and
+    returns x.dtype, so bf16 activations keep their dtype through the
+    hybrid sum (a promoted output would break scan carries)."""
+    xg = jnp.take(x, coo.cols, axis=-2).astype(jnp.float32)  # (..., e, C)
     xg = xg * coo.vals[:, None]
     xg = jnp.moveaxis(xg, -2, 0)                 # (e, ..., C)
     out = jax.ops.segment_sum(xg, coo.rows, num_segments=x.shape[-2])
-    return jnp.moveaxis(out, 0, -2)
+    return jnp.moveaxis(out, 0, -2).astype(x.dtype)
 
 
 def _coo_split_edges(tile: int) -> int:
