@@ -103,39 +103,67 @@ def measure(cfg, k: int = 32, iters: int = 10, windows: int = 6) -> float:
 
 
 def measure_sparse_model(n: int, batch: int = 8, iters: int = 8,
-                         dtype: str = "float32") -> dict:
-    """Full TGCN train step (fwd + MAE + grads + Adam) at large N
-    through the hybrid sparse aggregation path on this backend
+                         dtype: str = "float32",
+                         model_name: str = "TGCN") -> dict:
+    """Full recurrent-model train step (fwd + MAE + grads + Adam) at
+    large N through the hybrid sparse aggregation path on this backend
     (VERDICT r3 weak #2: every model-level number on record was N=170
     dense-path; this is the driver-captured sparse-path evidence).
 
-    Returns ms/step + samples/s + the harness validity info. The graph
-    is the bench's banded road family (degree 16, band 48, 2% far
-    links) with symmetric (A+I) normalization, bf16 block values.
+    model_name: 'TGCN' (graph-GRU, sym (A+I) normalization) or 'MSDR'
+    (multi-step dependency seq2seq, dual random-walk supports,
+    `model/MSDR/gmsdr_cell.py:86-89`). Returns ms/step + samples/s +
+    the harness validity info. The graph is the bench's banded road
+    family (degree 16, band 48, 2% far links), bf16 block values.
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
     import optax
 
-    from gptst_tpu.models.predictors.tgcn import TGCN, TGCNConfig
     from gptst_tpu.ops.graph_conv import make_support_coo
     from scripts.spmm_bench import road_graph_edges, time_chained
 
     rows, cols = road_graph_edges(n, 16, 48)
-    r = np.concatenate([rows, np.arange(n)])
-    c = np.concatenate([cols, np.arange(n)])
-    deg = np.bincount(r, minlength=n).astype(np.float64)
-    vals = (1.0 / np.sqrt(deg[r] * deg[c])).astype(np.float32)
-    sup = make_support_coo(r, c, vals, n, reorder=False,
-                           vals_dtype=jnp.bfloat16)
+    if model_name == "TGCN":
+        from gptst_tpu.models.predictors.tgcn import TGCN, TGCNConfig
 
-    model = TGCN(cfg=TGCNConfig(num_nodes=n, rnn_units=64),
-                 dim_in=1, dim_out=1, horizon=12)
+        r = np.concatenate([rows, np.arange(n)])
+        c = np.concatenate([cols, np.arange(n)])
+        deg = np.bincount(r, minlength=n).astype(np.float64)
+        vals = (1.0 / np.sqrt(deg[r] * deg[c])).astype(np.float32)
+        sup0 = make_support_coo(r, c, vals, n, reorder=False,
+                                vals_dtype=jnp.bfloat16)
+        sup = (sup0,)
+        model = TGCN(cfg=TGCNConfig(num_nodes=n, rnn_units=64),
+                     dim_in=1, dim_out=1, horizon=12)
+    elif model_name == "MSDR":
+        from gptst_tpu.models.predictors.msdr import MSDR, MSDRConfig
+
+        r, c = rows, cols
+        deg_out = np.maximum(np.bincount(r, minlength=n), 1)
+        deg_in = np.maximum(np.bincount(c, minlength=n), 1)
+        # [(D^-1 A)^T, (D^-1 A^T)^T] on edges (gmsdr_cell.py:86-89)
+        su1 = make_support_coo(c, r, (1.0 / deg_out[r]).astype(np.float32),
+                               n, reorder=False, vals_dtype=jnp.bfloat16)
+        su2 = make_support_coo(r, c, (1.0 / deg_in[c]).astype(np.float32),
+                               n, reorder=False, vals_dtype=jnp.bfloat16)
+        from gptst_tpu.kernels.sddmm import SDDMMPattern
+
+        # the learned adaptive adjacency rides the sparse SDDMM path on
+        # the static graph's block pattern (dense softmax is O(N^2))
+        sup0 = su1
+        sup = ((su1, su2), SDDMMPattern.from_bcsr(su1.bcsr))
+        model = MSDR(cfg=MSDRConfig(num_nodes=n, rnn_units=64,
+                                    num_rnn_layers=2),
+                     dim_in=1, dim_out=1, horizon=12)
+    else:
+        raise ValueError(model_name)
+
     rng = jax.random.PRNGKey(0)
     xb = jax.random.normal(rng, (batch, 12, n, 1), jnp.float32)
     yb = jax.random.normal(jax.random.PRNGKey(1), (batch, 12, n, 1))
-    params = model.init(jax.random.PRNGKey(2), xb, sup)
+    params = model.init(jax.random.PRNGKey(2), xb, *sup)
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
     opt_state = tx.init(params)
 
@@ -159,7 +187,7 @@ def measure_sparse_model(n: int, batch: int = 8, iters: int = 8,
                 q, x_, y_ = _cast(q), _cast(x), y
             else:
                 x_, y_ = x, y
-            pred = model.apply(q, x_, s).astype(jnp.float32)
+            pred = model.apply(q, x_, *s).astype(jnp.float32)
             return jnp.abs(pred - y_).mean()
 
         _, grads = jax.value_and_grad(loss_fn)(p)
@@ -171,7 +199,7 @@ def measure_sparse_model(n: int, batch: int = 8, iters: int = 8,
     return {
         "n": n,
         "nnz": int(r.size),
-        "coo_tail_edges": int(sup.coo.nnz if sup.coo is not None else 0),
+        "coo_tail_edges": int(sup0.coo.nnz if sup0.coo is not None else 0),
         "ms_per_step": round(per * 1e3, 3),
         "samples_per_s": round(batch / per, 2),
         "edge_updates_per_s_G": round(r.size * batch / per / 1e9, 3),
@@ -273,16 +301,20 @@ def main() -> None:
     # the tunneled compile service rejects the largest modules (batch 8
     # at 64k nodes -> tpu_compile_helper crash); per-size batch ladders
     # fall back rather than losing the measurement
-    cases = [("16384", 16384, (8, 4, 2), "float32"),
-             ("16384_bf16", 16384, (8, 4, 2), "bfloat16"),
-             ("65536", 65536, (4, 2), "float32")]
-    for key, nn_, ladder, dt in cases:
+    cases = [("16384", 16384, (8, 4, 2), "float32", "TGCN"),
+             ("16384_bf16", 16384, (8, 4, 2), "bfloat16", "TGCN"),
+             ("65536", 65536, (4, 2), "float32", "TGCN"),
+             # MSDR's K=4 carry x 2 layers x 24 scanned steps needs
+             # ~20 GB of backward residuals at batch 8 — start at 4
+             ("msdr_16384", 16384, (4, 2), "float32", "MSDR")]
+    for key, nn_, ladder, dt, mdl in cases:
         last_err = None
         for b in ladder:
             try:
                 sparse[key] = dict(
-                    measure_sparse_model(nn_, batch=b, dtype=dt),
-                    batch=b, dtype=dt)
+                    measure_sparse_model(nn_, batch=b, dtype=dt,
+                                         model_name=mdl),
+                    batch=b, dtype=dt, model=mdl)
                 break
             except Exception as e:
                 last_err = f"{type(e).__name__}: {e}"[:200]

@@ -355,9 +355,14 @@ def _spmm_kernel_stream(chunk, ptr_ref, cols_ref, vals_hbm, x_hbm,
 
 # Resident-stripe variant budget: the whole (n_pad, FT) x stripe lives
 # in VMEM. Past this, switch to the panel / streaming-gather variants.
-# (TPU VMEM is ~16 MB/core; half goes to the stripe, the rest to the
-# double-buffered value chunks, the output tile, and pipeline slack.)
-_STRIPE_VMEM_BUDGET = 8 * 1024 * 1024
+# TPU VMEM is ~16 MB/core and Pallas DOUBLE-BUFFERS input blocks when
+# the block index varies across grid steps — so the stripe may claim
+# at most ~2x6 MB, leaving the rest for the value chunks, the output
+# tile, and pipeline slack. (An 8 MB budget compiled only by accident
+# while every caller used a single feature tile, where the constant
+# index let Mosaic keep one copy; multiple feature tiles revolve the
+# buffer and a 2x8.39 MB stripe blew the 16 MB scoped-vmem limit.)
+_STRIPE_VMEM_BUDGET = 6 * 1024 * 1024
 
 
 def _spmm_kernel_panel(chunk, ptr2_ref, cols_ref, vals_hbm, x_ref,
@@ -904,10 +909,8 @@ class COOTail:
         return self.vals.shape[0]
 
 
-def coo_matmul(coo: COOTail, x: jnp.ndarray) -> jnp.ndarray:
-    """coo @ x over the node axis via gather + segment_sum (plain XLA,
-    natively differentiable — AD transposes the gather into the
-    matching scatter-add). x: (..., N, C). Accumulates in f32 and
+def _coo_impl(coo: COOTail, x: jnp.ndarray) -> jnp.ndarray:
+    """coo @ x via gather + segment_sum. Accumulates in f32 and
     returns x.dtype, so bf16 activations keep their dtype through the
     hybrid sum (a promoted output would break scan carries)."""
     xg = jnp.take(x, coo.cols, axis=-2).astype(jnp.float32)  # (..., e, C)
@@ -915,6 +918,34 @@ def coo_matmul(coo: COOTail, x: jnp.ndarray) -> jnp.ndarray:
     xg = jnp.moveaxis(xg, -2, 0)                 # (e, ..., C)
     out = jax.ops.segment_sum(xg, coo.rows, num_segments=x.shape[-2])
     return jnp.moveaxis(out, 0, -2).astype(x.dtype)
+
+
+@jax.custom_vjp
+def coo_matmul(coo: COOTail, coo_t: COOTail, x: jnp.ndarray) -> jnp.ndarray:
+    """coo @ x over the node axis. x: (..., N, C); `coo_t` is the
+    transposed tail (built alongside by `split_coo_hybrid`).
+
+    Custom VJP: dx = coo_t @ g as another gather + segment_sum. Plain
+    AD would transpose the forward's gather into a scatter-add, which
+    TPUs serialize — the transposed-tail formulation keeps the backward
+    on the same vectorized path as the forward. The tail is a constant
+    graph artifact: no cotangent flows to the edge values (learned
+    adjacencies ride the block-CSR/SDDMM path, never the tail)."""
+    return _coo_impl(coo, x)
+
+
+def _coo_fwd(coo, coo_t, x):
+    return _coo_impl(coo, x), (coo, coo_t)
+
+
+def _coo_bwd(res, g):
+    coo, coo_t = res
+    return (jax.tree.map(jnp.zeros_like, coo),
+            jax.tree.map(jnp.zeros_like, coo_t),
+            _coo_impl(coo_t, g))
+
+
+coo_matmul.defvjp(_coo_fwd, _coo_bwd)
 
 
 def _coo_split_edges(tile: int) -> int:

@@ -25,7 +25,7 @@ from gptst_tpu.graph.artifacts import (
     cheb_poly_stack, random_sensor_graph, scaled_laplacian,
 )
 from gptst_tpu.models.api import ModelOutput
-from gptst_tpu.ops.graph_conv import make_support
+from gptst_tpu.ops.graph_conv import SparseSupport, make_support
 
 
 def load_base_adjacency(cfg: FrameworkConfig, seed: int = 0) -> np.ndarray:
@@ -435,15 +435,24 @@ def _build_msdr(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     pcfg = make_predictor_config(MSDRConfig, cfg, num_nodes=cfg.num_nodes)
     supports = tuple(make_support(s)
                      for s in dual_random_walk_supports(adj))
+    # at large N the learned adaptive adjacency cannot be dense
+    # (softmax(relu(E1 E2)) is O(N^2) memory, `gmsdr_cell.py:122`);
+    # restrict it to the static graph's block pattern via the sparse
+    # SDDMM path (`kernels/sddmm.py:adaptive_support`)
+    adapt_pattern = None
+    if isinstance(supports[0], SparseSupport):
+        from gptst_tpu.kernels.sddmm import SDDMMPattern
+
+        adapt_pattern = SDDMMPattern.from_bcsr(supports[0].bcsr)
     model = MSDR(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
                  horizon=cfg.horizon)
 
     def init_fn(rng):
         x0 = jnp.zeros((2, cfg.lag, cfg.num_nodes, dim_in), jnp.float32)
-        return model.init(rng, x0, supports)
+        return model.init(rng, x0, supports, adapt_pattern)
 
     def apply_fn(params, x_base, rng=None, y=None, step=None):
-        return model.apply(params, x_base, supports)
+        return model.apply(params, x_base, supports, adapt_pattern)
 
     return init_fn, apply_fn
 

@@ -57,16 +57,18 @@ class GMSDRCell(nn.Module):
     dim_in: int
 
     @nn.compact
-    def __call__(self, hx_k, x, supports):
+    def __call__(self, hx_k, x, supports, adp):
         # hx_k: (B, K, N, U); x: (B, N, Din); supports: tuple of
-        # (N, N) arrays or SparseSupport (block-CSR at large N)
+        # (N, N) arrays or SparseSupport (block-CSR at large N).
+        # adp: this layer's learned adaptive adjacency — computed ONCE
+        # per forward by MSDR.__call__ (the reference recomputes
+        # softmax(relu(E1 E2)) inside every cell step,
+        # `gmsdr_cell.py:122`, but E1/E2 are constant within a forward,
+        # so hoisting it out of the `nn.scan` is the same math at 1/T
+        # the cost — and keeps the SDDMM sparse-adaptive variant out of
+        # the scan body, which the tunneled TPU compiler rejects).
         c = self.cfg
         B, K, N, U = hx_k.shape
-        e1 = self.param("nodevec1", nn.initializers.normal(1.0),
-                        (c.num_nodes, c.adapt_rank))
-        e2 = self.param("nodevec2", nn.initializers.normal(1.0),
-                        (c.adapt_rank, c.num_nodes))
-        adp = jax.nn.softmax(jax.nn.relu(e1 @ e2), axis=1)
 
         pre_h = hx_k[:, -c.pre_v:]                       # (B, pre_v, N, U)
         pre_h = jnp.moveaxis(pre_h, 1, 2).reshape(B, N, c.pre_v * U)
@@ -81,11 +83,11 @@ class GMSDRCell(nn.Module):
                 h2 = 2 * graph_matmul(sup, h1) - h0
                 mats.append(h2)
                 h1, h0 = h2, h1
-        h1 = jnp.einsum("nm,bmc->bnc", adp, z)
+        h1 = graph_matmul(adp, z)
         mats.append(h1)
         h0 = z
         for _ in range(2, c.max_diffusion_step + 1):
-            h2 = jnp.einsum("nm,bmc->bnc", adp, h1) - h0
+            h2 = graph_matmul(adp, h1) - h0
             mats.append(h2)
             h1, h0 = h2, h1
         cat = jnp.concatenate(mats, axis=-1)
@@ -117,15 +119,16 @@ class _SeqStep(nn.Module):
     dim_in: int
 
     @nn.compact
-    def __call__(self, carry, x_t, supports):
-        # carry: (L, B, K, N, U); x_t: (B, N, Din)
+    def __call__(self, carry, x_t, supports, adps):
+        # carry: (L, B, K, N, U); x_t: (B, N, Din); adps: per-layer
+        # adaptive adjacencies (broadcast through the scan)
         c = self.cfg
         out = x_t
         new_carry = []
         for layer in range(c.num_rnn_layers):
             din = self.dim_in if layer == 0 else c.rnn_units
             hx, out = GMSDRCell(c, din, name=f"cell{layer}")(
-                carry[layer], out, supports)
+                carry[layer], out, supports, adps[layer])
             new_carry.append(hx)
         return jnp.stack(new_carry), out
 
@@ -139,23 +142,50 @@ class MSDR(nn.Module):
     horizon: int
 
     @nn.compact
-    def __call__(self, x, supports):
+    def __call__(self, x, supports, adapt_pattern=None):
+        # adapt_pattern: None -> each layer's learned adjacency is the
+        # reference's dense softmax(relu(E1 E2)) (`gmsdr_cell.py:122`),
+        # O(N^2) memory; an SDDMMPattern -> the same graph restricted
+        # to the pattern via the sparse SDDMM path (block-row softmax),
+        # which is how the adaptive branch scales past ~8k nodes. The
+        # nodevec pairs live here (one per encoder/decoder layer, as in
+        # the reference's per-cell parameters) so each support builds
+        # once per forward instead of once per scanned time step.
         c = self.cfg
         B, T, N, _ = x.shape
+
+        def build_adp(tag, layer):
+            e1 = self.param(f"nodevec1_{tag}{layer}",
+                            nn.initializers.normal(1.0),
+                            (c.num_nodes, c.adapt_rank))
+            e2 = self.param(f"nodevec2_{tag}{layer}",
+                            nn.initializers.normal(1.0),
+                            (c.adapt_rank, c.num_nodes))
+            if adapt_pattern is None:
+                return jax.nn.softmax(jax.nn.relu(e1 @ e2), axis=1)
+            from gptst_tpu.kernels.sddmm import adaptive_support
+
+            return adaptive_support(adapt_pattern, e1, e2)
+
+        enc_adps = tuple(build_adp("enc", i)
+                         for i in range(c.num_rnn_layers))
+        dec_adps = tuple(build_adp("dec", i)
+                         for i in range(c.num_rnn_layers))
+
         x = nn.Dense(c.rnn_units, name="enc_mlp")(x)     # (B,T,N,U)
         h0 = jnp.zeros((c.num_rnn_layers, B, c.pre_k, N, c.rnn_units),
                        x.dtype)
         enc = nn.scan(
             _SeqStep, variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=(1, nn.broadcast), out_axes=1,
+            in_axes=(1, nn.broadcast, nn.broadcast), out_axes=1,
         )(c, c.rnn_units, name="encoder")
-        hx_k, enc_out = enc(h0, x, supports)             # enc_out (B,T,N,U)
+        hx_k, enc_out = enc(h0, x, supports, enc_adps)
 
         dec = nn.scan(
             _SeqStep, variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=(1, nn.broadcast), out_axes=1,
+            in_axes=(1, nn.broadcast, nn.broadcast), out_axes=1,
         )(c, c.rnn_units, name="decoder")
-        _, dec_out = dec(hx_k, enc_out, supports)        # (B,T,N,U)
+        _, dec_out = dec(hx_k, enc_out, supports, dec_adps)
         return nn.Dense(self.dim_out, name="projection")(dec_out)

@@ -258,7 +258,7 @@ def graph_matmul(support, x: jnp.ndarray) -> jnp.ndarray:
         else:
             out = spmm(support.bcsr, support.bcsr_t, x)
         if support.coo is not None:
-            out = out + coo_matmul(support.coo, x)
+            out = out + coo_matmul(support.coo, support.coo_t, x)
         if support.inv_perm is not None:
             out = jnp.take(out, support.inv_perm, axis=-2)
         return out

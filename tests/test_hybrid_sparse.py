@@ -85,13 +85,25 @@ def test_coo_matmul_matches_dense():
 
     coo = COOTail(jnp.asarray(rows, jnp.int32), jnp.asarray(cols, jnp.int32),
                   jnp.asarray(vals), n)
+    o = np.lexsort((rows, cols))
+    coo_t = COOTail(jnp.asarray(cols[o], jnp.int32),
+                    jnp.asarray(rows[o], jnp.int32),
+                    jnp.asarray(vals[o]), n)
     adj = np.zeros((n, n), np.float32)
     np.add.at(adj, (rows, cols), vals)
     x = np.asarray(rng.normal(size=(2, 5, n, 4)), np.float32)
-    got = coo_matmul(coo, jnp.asarray(x))
+    got = coo_matmul(coo, coo_t, jnp.asarray(x))
     want = jnp.einsum("nm,btmc->btnc", jnp.asarray(adj), jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+    # the custom VJP's dx must match dense AD (gather+segment-sum on
+    # the transposed tail, not a scatter)
+    gs = jax.grad(lambda v: (coo_matmul(coo, coo_t, v) ** 2).sum())(
+        jnp.asarray(x))
+    gd = jax.grad(lambda v: (jnp.einsum(
+        "nm,btmc->btnc", jnp.asarray(adj), v) ** 2).sum())(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd),
+                               rtol=1e-4, atol=1e-4)
 
 
 @pytest.mark.parametrize("reorder", [False, True])

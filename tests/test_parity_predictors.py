@@ -609,8 +609,6 @@ def test_msdr_forward_parity():
         gw = gw.reshape(i_sz, num_m, u).transpose(1, 0, 2) \
             .reshape(num_m * i_sz, u)            # -> m-major
         return {
-            "nodevec1": rc.nodevec1.detach().numpy(),
-            "nodevec2": rc.nodevec2.detach().numpy(),
             "gconv_w": gw, "gconv_b": gb,
             "W": rc.W.detach().numpy(), "b": rc.b.detach().numpy(),
             "R": rc.R.detach().numpy(),
@@ -620,11 +618,19 @@ def test_msdr_forward_parity():
 
     params["enc_mlp"] = _lin(ref.encoder_model.mlp)
     params["projection"] = _lin(ref.decoder_model.projection_layer)
+    # nodevecs are per-cell in the reference; our MSDR hoists them to
+    # the model (the adaptive support builds once per forward, not per
+    # scanned step — same math, E1/E2 constant within a forward)
     for li in range(layers):
         params["encoder"][f"cell{li}"] = cell(
             ref.encoder_model.gmsdr_layers[li])
         params["decoder"][f"cell{li}"] = cell(
             ref.decoder_model.gmsdr_layers[li])
+        for tag, stack in (("enc", ref.encoder_model),
+                           ("dec", ref.decoder_model)):
+            rc = stack.gmsdr_layers[li]
+            params[f"nodevec1_{tag}{li}"] = rc.nodevec1.detach().numpy()
+            params[f"nodevec2_{tag}{li}"] = rc.nodevec2.detach().numpy()
 
     with torch.no_grad():
         want = ref(torch.tensor(x)).numpy()

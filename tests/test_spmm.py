@@ -138,8 +138,10 @@ def test_spmm_wide_features_uses_larger_tile():
 
     assert _choose_feat_tile(1024, 512) == 512
     assert _choose_feat_tile(1024, 128) == 128
-    # stripe budget forces narrower tiles as n_pad grows
-    assert _choose_feat_tile(16384, 512) == 128
+    # stripe budget (6 MB single-copy — Pallas double-buffers when the
+    # feature-tile index varies) forces narrower tiles as n_pad grows
+    assert _choose_feat_tile(12288, 512) == 128
+    assert _choose_feat_tile(16384, 512) == 512  # streaming fallback
     assert _choose_feat_tile(1 << 20, 512) == 512  # streaming fallback
 
     adj = sym_adj(random_sensor_graph(300, avg_degree=5, seed=3))
