@@ -53,15 +53,17 @@ def main() -> None:
         bcsr, bcsr_t = BlockCSR.pair_from_coo(
             rows, cols, (1.0 / deg[rows]).astype(np.float32), n)
         dense = jnp.asarray(adj / deg[:, None])
-        sp_dt = time_chained(lambda v, a, at: spmm(a, at, v), x,
-                             iters=args.iters, operands=(bcsr, bcsr_t))
-        de_dt = time_chained(lambda v, a: a @ v, x, iters=args.iters,
-                             operands=(dense,))
+        sp_dt, sp_info = time_chained(
+            lambda v, a, at: spmm(a, at, v), x,
+            iters=args.iters, operands=(bcsr, bcsr_t))
+        de_dt, de_info = time_chained(
+            lambda v, a: a @ v, x, iters=args.iters, operands=(dense,))
         rows_out.append({
             "n": n, "feat": args.feat,
             "dense_ms": round(de_dt * 1e3, 4),
             "sparse_ms": round(sp_dt * 1e3, 4),
             "sparse_speedup": round(de_dt / sp_dt, 3),
+            "valid": bool(sp_info["valid"] and de_info["valid"]),
         })
         print(json.dumps(rows_out[-1]), flush=True)
 
