@@ -149,11 +149,17 @@ def measure_sparse_model(n: int, batch: int = 8, iters: int = 8,
         su2 = make_support_coo(r, c, (1.0 / deg_in[c]).astype(np.float32),
                                n, reorder=False, vals_dtype=jnp.bfloat16)
         from gptst_tpu.kernels.sddmm import SDDMMPattern
+        from gptst_tpu.kernels.spmm import BlockCSR, coo_split_mask
 
         # the learned adaptive adjacency rides the sparse SDDMM path on
-        # the static graph's block pattern (dense softmax is O(N^2))
+        # the static graph's block pattern (dense softmax is O(N^2));
+        # built from the edge list — su1.bcsr is a placeholder when the
+        # DIA band supersedes the block kernels
+        mk = coo_split_mask(c, r, n)
+        pat = SDDMMPattern.from_bcsr(BlockCSR.from_coo(
+            c[mk], r[mk], (1.0 / deg_out[r]).astype(np.float32)[mk], n))
         sup0 = su1
-        sup = ((su1, su2), SDDMMPattern.from_bcsr(su1.bcsr))
+        sup = ((su1, su2), pat)
         model = MSDR(cfg=MSDRConfig(num_nodes=n, rnn_units=64,
                                     num_rnn_layers=2),
                      dim_in=1, dim_out=1, horizon=12)

@@ -787,20 +787,20 @@ def _dia_kernel(ndiag, vals_ref, *refs):
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
-def _dia_feat_tile(dia: DIABand, f: int) -> int:
+def _dia_feat_tile(dia: DIABand, f: int, x_itemsize: int = 4) -> int:
     """Feature tile minimizing total traffic: x-window bytes scale
-    with round_up(f, ft) — (2w+1)+1 passes over the padded width —
-    while the band re-streams once per feature tile. A model fold of
-    B*T*C lands on awkward widths (e.g. 520), where ft=512 pads the
-    dominant x term 2x; picking by the byte model instead of "widest
-    tile" recovers it."""
+    with round_up(f, ft) — (2w+1)+1 passes over the padded width at
+    the activation's own itemsize — while the band re-streams once per
+    feature tile. A model fold of B*T*C lands on awkward widths (e.g.
+    520), where ft=512 pads the dominant x term 2x; picking by the
+    byte model instead of "widest tile" recovers it."""
     ndiag = 2 * dia.w + 1
     band = dia.row_tiles * ndiag * dia.tile * dia.tile \
         * dia.vals.dtype.itemsize
 
     def cost(ft):
         f_pad = _round_up(f, ft)
-        return ((ndiag + 1) * dia.n_pad * f_pad * 4
+        return ((ndiag + 1) * dia.n_pad * f_pad * x_itemsize
                 + band * (f_pad // ft))
 
     return min((512, 384, 256, 128), key=cost)
@@ -811,7 +811,7 @@ def _dia_impl(dia: DIABand, x: jnp.ndarray) -> jnp.ndarray:
     assert n == dia.n, (n, dia.n)
     flat = jnp.moveaxis(x.reshape(-1, n, c), 1, 0).reshape(n, -1)
     f = flat.shape[1]
-    feat_tile = _dia_feat_tile(dia, f)
+    feat_tile = _dia_feat_tile(dia, f, x.dtype.itemsize)
     f_pad = _round_up(f, feat_tile)
     x_pad = jnp.zeros((dia.n_pad, f_pad), x.dtype)
     x_pad = x_pad.at[:n, :f].set(flat)
@@ -978,20 +978,33 @@ def coo_split_mask(rows: np.ndarray, cols: np.ndarray, n: int,
 def split_coo_hybrid(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
                      n: int, tile: int = 128,
                      min_edges: int | None = None,
-                     vals_dtype=jnp.float32):
+                     vals_dtype=jnp.float32,
+                     mask: np.ndarray | None = None,
+                     build_blocks: bool = True):
     """Partition an edge list into (BlockCSR A, A^T, COOTail, COOTail^T).
 
     Edges whose (row-tile, col-tile) block holds >= min_edges edges go
     to the block path; the rest form the COO tail. Either part may be
     empty (an empty tail returns None; an empty block part yields the
-    1-zero-block BlockCSR `_from_blocks` already emits).
+    1-zero-block BlockCSR `_from_blocks` already emits). Pass a
+    precomputed `mask` (from `coo_split_mask`) to skip recomputing it;
+    `build_blocks=False` returns placeholder 1-zero-block CSRs for the
+    block slots (used when a DIA band supersedes the block kernels —
+    uploading ~100 MB of never-read block values wastes HBM).
     """
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     vals = np.asarray(vals, np.float32)
-    dense = coo_split_mask(rows, cols, n, tile, min_edges)
-    a, at = BlockCSR.pair_from_coo(rows[dense], cols[dense], vals[dense],
-                                   n, tile, vals_dtype)
+    dense = (coo_split_mask(rows, cols, n, tile, min_edges)
+             if mask is None else mask)
+    if build_blocks:
+        a, at = BlockCSR.pair_from_coo(rows[dense], cols[dense],
+                                       vals[dense], n, tile, vals_dtype)
+    else:
+        empty = np.zeros(0, np.int64)
+        a, at = BlockCSR.pair_from_coo(empty, empty,
+                                       np.zeros(0, np.float32), n, tile,
+                                       vals_dtype)
     if dense.all():
         return a, at, None, None
     r, c, v = rows[~dense], cols[~dense], vals[~dense]

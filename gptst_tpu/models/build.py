@@ -426,6 +426,25 @@ def _build_stmgcn(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     return init_fn, apply_fn
 
 
+def msdr_adapt_pattern(mat0: np.ndarray, num_nodes: int):
+    """SDDMM pattern for MSDR's learned adjacency, from the first
+    static support's edge list in ORIGINAL node order. The static
+    supports may carry an internal RCM permutation, but the model's
+    activations are in dataset order and `adaptive_support` returns an
+    unpermuted SparseSupport — a pattern lifted from a permuted
+    `supports[0].bcsr` would connect the wrong node pairs (and that
+    bcsr may be a placeholder when the DIA band supersedes it).
+    Straggler-block edges are excluded, matching the hybrid split."""
+    from gptst_tpu.kernels.sddmm import SDDMMPattern
+    from gptst_tpu.kernels.spmm import BlockCSR, coo_split_mask
+
+    m0 = np.asarray(mat0)
+    rows, cols = np.nonzero(m0)
+    mk = coo_split_mask(rows, cols, num_nodes)
+    return SDDMMPattern.from_bcsr(BlockCSR.from_coo(
+        rows[mk], cols[mk], m0[rows, cols][mk], num_nodes))
+
+
 @register_model("MSDR")
 def _build_msdr(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     from gptst_tpu.models.predictors.msdr import (
@@ -433,17 +452,21 @@ def _build_msdr(cfg: FrameworkConfig, dim_in: int, adj: np.ndarray):
     )
 
     pcfg = make_predictor_config(MSDRConfig, cfg, num_nodes=cfg.num_nodes)
-    supports = tuple(make_support(s)
-                     for s in dual_random_walk_supports(adj))
+    mats = dual_random_walk_supports(adj)
+    supports = tuple(make_support(s) for s in mats)
     # at large N the learned adaptive adjacency cannot be dense
     # (softmax(relu(E1 E2)) is O(N^2) memory, `gmsdr_cell.py:122`);
     # restrict it to the static graph's block pattern via the sparse
-    # SDDMM path (`kernels/sddmm.py:adaptive_support`)
+    # SDDMM path (`kernels/sddmm.py:adaptive_support`). The pattern is
+    # built from the raw edge list in ORIGINAL node order — the static
+    # supports may carry an internal RCM permutation, but the model's
+    # activations are in dataset order and `adaptive_support` returns
+    # an unpermuted SparseSupport, so a permuted pattern would connect
+    # the wrong node pairs (and `supports[0].bcsr` may be a placeholder
+    # when the DIA band supersedes it).
     adapt_pattern = None
     if isinstance(supports[0], SparseSupport):
-        from gptst_tpu.kernels.sddmm import SDDMMPattern
-
-        adapt_pattern = SDDMMPattern.from_bcsr(supports[0].bcsr)
+        adapt_pattern = msdr_adapt_pattern(mats[0], cfg.num_nodes)
     model = MSDR(cfg=pcfg, dim_in=dim_in, dim_out=cfg.output_dim,
                  horizon=cfg.horizon)
 

@@ -82,7 +82,10 @@ class SparseSupport:
     coo_t: COOTail | None = None
     # DIA band for the block part when it is a narrow tile-diagonal
     # band (typical for road graphs after RCM + the hybrid split);
-    # `graph_matmul` prefers it over the block-CSR kernels
+    # `graph_matmul` prefers it over the block-CSR kernels. When set,
+    # `bcsr`/`bcsr_t` are 1-zero-block placeholders (never read) —
+    # consumers needing the block structure (e.g. an SDDMM pattern)
+    # must build their own from the edge list.
     dia: DIABand | None = None
     dia_t: DIABand | None = None
 
@@ -218,15 +221,19 @@ def make_support_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
             inv_perm = jnp.asarray(inv, jnp.int32)
     dia = dia_t = None
     if hybrid:
-        bcsr, bcsr_t, coo, coo_t = split_coo_hybrid(
-            rows, cols, vals, n, tile=tile, vals_dtype=vals_dtype)
         # DIA layout for the block part when it forms a narrow dense
-        # tile band (the constant-artifact fast path; `kernels/spmm.py`)
+        # tile band (the constant-artifact fast path; `kernels/spmm.py`).
+        # When DIA takes over, the block-CSR slots hold 1-zero-block
+        # placeholders — uploading the band twice would waste ~2x the
+        # adjacency bytes of HBM for kernels that never run.
         mask = coo_split_mask(rows, cols, n, tile)
         pair = dia_pair_from_coo(rows[mask], cols[mask], vals[mask], n,
                                  tile, vals_dtype)
         if pair is not None:
             dia, dia_t = pair
+        bcsr, bcsr_t, coo, coo_t = split_coo_hybrid(
+            rows, cols, vals, n, tile=tile, vals_dtype=vals_dtype,
+            mask=mask, build_blocks=pair is None)
     else:
         bcsr, bcsr_t = BlockCSR.pair_from_coo(rows, cols, vals, n, tile,
                                               vals_dtype)

@@ -67,8 +67,11 @@ def time_chained(step_fn, x0, iters=32, reps=5, operands=(),
         BlockCSR produced an HTTP 413 compile request;
       * cross-dispatch carry (y = fn(y)): repeated identical calls are
         served from a result cache (an 8192^2 dense matmul "measured"
-        2 us re-dispatched verbatim); the fetched anchor values are
-        recorded and must DIFFER across groups, else invalid;
+        2 us re-dispatched verbatim); a per-dispatch counter perturbs
+        the carry above the bf16 ulp, so arguments are distinct by
+        construction (info["anchors_distinct"] additionally reports
+        whether the fetched chain sums differed — diagnostic only,
+        since a converged chain can legitimately repeat a sum);
       * the SCALAR FETCH anchor: `block_until_ready` does not reliably
         wait on this backend (32 chained 8192^2 matmuls "completed" in
         67 us under block_until_ready alone). float(jnp.sum(y)) cannot
@@ -100,14 +103,17 @@ def time_chained(step_fn, x0, iters=32, reps=5, operands=(),
         if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)))
 
     def build(it):
-        # j is a per-dispatch counter scaled into a tiny input perturb
-        # (1e-5 relative — above the f32 ulp, negligible numerically),
-        # making every dispatch's ARGUMENTS distinct by construction:
-        # the identical-dispatch result cache structurally cannot serve
-        # any of them, whatever the chain converges to.
+        # j is a per-dispatch counter scaled into a small sign-
+        # alternating input perturb (|delta| up to 2.4e-2 relative —
+        # above even the bf16 ulp at 1.0, so the multiply is never a
+        # rounded-to-identity no-op; for timing purposes the value
+        # drift is irrelevant and it cancels over the j cycle), making
+        # every dispatch's ARGUMENTS distinct by construction: the
+        # identical-dispatch result cache structurally cannot serve
+        # them, whatever the chain converges to.
         def run(x, j, *ops):
             x = jax.tree.map(
-                lambda a: a * (1.0 + j * 1e-5).astype(a.dtype)
+                lambda a: a * (1.0 + (j - 3.0) * 8e-3).astype(a.dtype)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, x)
             return jax.lax.fori_loop(
                 0, it, lambda i, v: step_fn(v, *ops), x)
@@ -168,6 +174,7 @@ def time_chained(step_fn, x0, iters=32, reps=5, operands=(),
         "median_diff_s": med,
         "noise_floor_s": noise,
         "n_nonpositive_diffs": n_bad,
+        "anchors_distinct": len(set(anchors)) == len(anchors),
     }
     return per, info
 
@@ -210,8 +217,18 @@ def main() -> None:
     sup = make_support_coo(rows, cols, vals, n, tile=args.tile,
                            reorder=False, hybrid=not args.no_hybrid,
                            vals_dtype=vdt)
-    bcsr, bcsr_t = sup.bcsr, sup.bcsr_t
     n_coo = sup.coo.nnz if sup.coo is not None else 0
+    if sup.dia is not None:
+        # the support's bcsr is a placeholder when DIA supersedes it;
+        # rebuild the block structure (reporting + the SDDMM pattern)
+        # from the block-path edges
+        from gptst_tpu.kernels.spmm import BlockCSR, coo_split_mask
+
+        mk = coo_split_mask(rows, cols, n, args.tile)
+        bcsr = BlockCSR.from_coo(rows[mk], cols[mk], vals[mk], n,
+                                 args.tile, vdt)
+    else:
+        bcsr = sup.bcsr
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(n, args.feat)).astype(np.float32))
 

@@ -229,3 +229,61 @@ def test_dia_rejects_wide_or_sparse_bands():
     cols = rows + 512
     assert dia_pair_from_coo(rows, cols, np.ones(rows.size), n,
                              tile=tile) is None
+
+
+def test_msdr_adapt_pattern_is_in_original_coordinates():
+    """The MSDR builder's learned-adjacency pattern must live in
+    dataset node order even when make_support RCM-permutes the static
+    supports internally (a pattern lifted from the permuted bcsr would
+    connect the wrong node pairs — the adaptive support is applied to
+    unpermuted activations)."""
+    from gptst_tpu.kernels.sddmm import adaptive_support
+    from gptst_tpu.models.build import msdr_adapt_pattern
+
+    n, tile = 256, 64
+    banded = _banded_plus_far(n, band=20, far=0, seed=3)
+    # scramble the node order so RCM finds a better one
+    perm = np.random.default_rng(0).permutation(n)
+    adj = banded[perm][:, perm]
+
+    sup = make_support_coo(*np.nonzero(adj),
+                           adj[np.nonzero(adj)], n, tile=tile,
+                           reorder=True)
+    assert sup.perm is not None  # the hazard is live in this setup
+
+    pat = msdr_adapt_pattern(adj, n)
+    pt = pat.tile  # the pattern's own tile (builder default), not the
+    # support's — the coordinate system is what's under test
+    # every dense-block original edge lands inside the pattern
+    rows, cols = np.nonzero(adj)
+    from gptst_tpu.kernels.spmm import coo_split_mask
+
+    mk = coo_split_mask(rows, cols, n, pt)
+    blocks = {(int(r), int(c)) for r, c in zip(
+        np.asarray(pat.row_ids)[: int(np.asarray(pat.ptr)[-1])],
+        np.asarray(pat.cols)[: int(np.asarray(pat.ptr)[-1])])}
+    assert all((r // pt, c // pt) in blocks
+               for r, c in zip(rows[mk], cols[mk]))
+
+    # and the adaptive support computes in original coordinates:
+    # restrict a dense reference to the pattern's support
+    rng = np.random.default_rng(1)
+    e1 = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    e2 = jnp.asarray(rng.normal(size=(6, n)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, n, 4)).astype(np.float32))
+    adp = adaptive_support(pat, e1, e2)
+    got = graph_matmul(adp, x)
+
+    # the pattern mask zeroes non-edges within stored blocks
+    pr = np.asarray(pat.row_ids)[: int(np.asarray(pat.ptr)[-1])]
+    pc = np.asarray(pat.cols)[: int(np.asarray(pat.ptr)[-1])]
+    pm = np.zeros((pat.n_pad, pat.n_pad), np.float32)
+    mv = np.asarray(pat.mask)
+    for b, (r, c) in enumerate(zip(pr, pc)):
+        pm[r * pt:(r + 1) * pt, c * pt:(c + 1) * pt] = mv[b]
+    pm = pm[:n, :n]
+    scores = np.exp(np.maximum(np.asarray(e1 @ e2), 0.0)) * pm
+    denom = np.maximum(scores.sum(axis=1, keepdims=True), 1e-38)
+    want = jnp.einsum("nm,bmc->bnc", jnp.asarray(scores / denom), x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
