@@ -806,6 +806,107 @@ def _dia_feat_tile(dia: DIABand, f: int, x_itemsize: int = 4) -> int:
     return min((512, 384, 256, 128), key=cost)
 
 
+def _dia_kernel_ring(ndiag, w, vals_ref, x_hbm, out_ref, ring, sems):
+    """Ring-buffered DIA: x column blocks load ONCE each (the BlockSpec
+    variant re-reads every block 2w+1 times — once per window spec).
+
+    grid = (feat_tiles, row_tiles) with row tiles innermost; `ring`
+    holds R = 2w+2 (TB, FT) x blocks persistent across grid steps. At
+    step i the live window is blocks [i-w, i+w] and block i+1+w
+    prefetches into the slot block i-w-1 just vacated (R consecutive
+    block ids map to distinct slots; sequential grid execution makes
+    the overwrite safe). Out-of-range ids clamp — their value blocks
+    are structural zeros, so the product contributes nothing."""
+    jf = pl.program_id(0)
+    i = pl.program_id(1)
+    rt = pl.num_programs(1)          # static
+    tb = out_ref.shape[0]
+    ft = out_ref.shape[1]
+    R = ndiag + 1
+
+    def dma(slot, blk):
+        # blk may be traced; clamp into range (out-of-range window
+        # positions multiply structural-zero value blocks anyway)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(jnp.clip(blk, 0, rt - 1) * tb, tb),
+                     pl.ds(jf * ft, ft)],
+            ring.at[slot], sems.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        # prologue (re-runs at each new feature tile): the step-0
+        # window -w..w only — the step-1 lookahead (block w+1) is
+        # started by step 0's own epilogue, exactly like every later
+        # step's (starting it here too would double-signal its slot)
+        for b in range(-w, w + 1):
+            dma((b + R) % R, b).start()
+        for b in range(-w, w + 1):
+            dma((b + R) % R, b).wait()
+
+    @pl.when(i > 0)
+    def _():
+        # the current step's leading block was prefetched by step i-1
+        slot = jax.lax.rem(i + w + R, R)
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(0, tb), pl.ds(jf * ft, ft)],
+            ring.at[slot], sems.at[slot]).wait()
+
+    @pl.when(i + 1 < rt)
+    def _():
+        # start the next step's lookahead BEFORE the dots so the DMA
+        # overlaps compute; its slot held block i-w-1, last read at
+        # step i-1 (block ids i-w..i+1+w are R consecutive ids and map
+        # to distinct slots)
+        dma(jax.lax.rem(i + 1 + w + R, R), i + 1 + w).start()
+
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for d in range(ndiag):
+        slot = jax.lax.rem(i + d - w + R, R)
+        acc += jax.lax.dot(vals_ref[0, d],
+                           ring[slot].astype(vals_ref.dtype),
+                           preferred_element_type=jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+# Opt-in for the ring-buffered DIA variant (x blocks load once each
+# instead of once per window spec — saves 2w/(2w+1)+1... of the x
+# traffic). Kept off by default until its on-chip numbers beat the
+# BlockSpec variant's recorded rows.
+_DIA_RING_ENV = "GPTST_DIA_RING"
+
+
+def _dia_ring_call(dia: DIABand, x_pad: jnp.ndarray,
+                   feat_tile: int) -> jnp.ndarray:
+    tb, w = dia.tile, dia.w
+    ndiag = 2 * w + 1
+    rt = dia.row_tiles
+    n_pad, f_pad = x_pad.shape
+    vb = dia.vals.dtype.itemsize
+    return pl.pallas_call(
+        functools.partial(_dia_kernel_ring, ndiag, w),
+        grid=(f_pad // feat_tile, rt),
+        in_specs=[
+            pl.BlockSpec((1, ndiag, tb, tb),
+                         lambda jf, i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),       # x stays in HBM
+        ],
+        out_specs=pl.BlockSpec((tb, feat_tile), lambda jf, i: (i, jf),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, f_pad), x_pad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ndiag + 1, tb, feat_tile), x_pad.dtype),
+            pltpu.SemaphoreType.DMA((ndiag + 1,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rt * ndiag * tb * tb * f_pad,
+            bytes_accessed=(rt * ndiag * tb * tb * vb
+                            * (f_pad // feat_tile)
+                            + 2 * n_pad * f_pad * x_pad.dtype.itemsize),
+            transcendentals=0),
+    )(dia.vals, x_pad)
+
+
 def _dia_impl(dia: DIABand, x: jnp.ndarray) -> jnp.ndarray:
     *lead, n, c = x.shape
     assert n == dia.n, (n, dia.n)
@@ -815,6 +916,14 @@ def _dia_impl(dia: DIABand, x: jnp.ndarray) -> jnp.ndarray:
     f_pad = _round_up(f, feat_tile)
     x_pad = jnp.zeros((dia.n_pad, f_pad), x.dtype)
     x_pad = x_pad.at[:n, :f].set(flat)
+
+    import os
+
+    if os.environ.get(_DIA_RING_ENV):
+        out = _dia_ring_call(dia, x_pad, feat_tile)
+        out = out[:n, :f]
+        return jnp.moveaxis(out.reshape(n, -1, c), 0, 1).reshape(
+            *lead, n, c)
 
     tb, w = dia.tile, dia.w
     ndiag = 2 * w + 1

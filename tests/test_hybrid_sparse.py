@@ -287,3 +287,26 @@ def test_msdr_adapt_pattern_is_in_original_coordinates():
     want = jnp.einsum("nm,bmc->bnc", jnp.asarray(scores / denom), x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_dia_ring_variant_matches(monkeypatch):
+    """The opt-in ring-buffered DIA kernel (x blocks DMA once each,
+    GPTST_DIA_RING=1) must reproduce the BlockSpec variant exactly."""
+    from gptst_tpu.kernels.spmm import dia_matmul, dia_pair_from_coo
+
+    n, tile = 448, 64
+    adj = _banded_plus_far(n, band=20, far=0, seed=17)
+    rows, cols = np.nonzero(adj)
+    pair = dia_pair_from_coo(rows, cols, adj[rows, cols], n, tile=tile)
+    assert pair is not None
+    dia, dia_t = pair
+
+    x = jnp.asarray(
+        np.random.default_rng(4).normal(size=(2, n, 20)), jnp.float32)
+    base = np.asarray(dia_matmul(dia, dia_t, x))
+    monkeypatch.setenv("GPTST_DIA_RING", "1")
+    ring = np.asarray(dia_matmul(dia, dia_t, x))
+    np.testing.assert_allclose(ring, base, rtol=1e-5, atol=1e-5)
+    want = jnp.einsum("nm,bmc->bnc", jnp.asarray(adj), x)
+    np.testing.assert_allclose(ring, np.asarray(want), rtol=2e-4,
+                               atol=2e-4)
