@@ -104,7 +104,8 @@ def measure(cfg, k: int = 32, iters: int = 10, windows: int = 6) -> float:
 
 def measure_sparse_model(n: int, batch: int = 8, iters: int = 8,
                          dtype: str = "float32",
-                         model_name: str = "TGCN") -> dict:
+                         model_name: str = "TGCN",
+                         remat: str = "none") -> dict:
     """Full recurrent-model train step (fwd + MAE + grads + Adam) at
     large N through the hybrid sparse aggregation path on this backend
     (VERDICT r3 weak #2: every model-level number on record was N=170
@@ -135,7 +136,8 @@ def measure_sparse_model(n: int, batch: int = 8, iters: int = 8,
         sup0 = make_support_coo(r, c, vals, n, reorder=False,
                                 vals_dtype=jnp.bfloat16)
         sup = (sup0,)
-        model = TGCN(cfg=TGCNConfig(num_nodes=n, rnn_units=64),
+        model = TGCN(cfg=TGCNConfig(num_nodes=n, rnn_units=64,
+                                    remat=remat),
                      dim_in=1, dim_out=1, horizon=12)
     elif model_name == "MSDR":
         from gptst_tpu.models.predictors.msdr import MSDR, MSDRConfig
@@ -161,7 +163,7 @@ def measure_sparse_model(n: int, batch: int = 8, iters: int = 8,
         sup0 = su1
         sup = ((su1, su2), pat)
         model = MSDR(cfg=MSDRConfig(num_nodes=n, rnn_units=64,
-                                    num_rnn_layers=2),
+                                    num_rnn_layers=2, remat=remat),
                      dim_in=1, dim_out=1, horizon=12)
     else:
         raise ValueError(model_name)
@@ -211,6 +213,78 @@ def measure_sparse_model(n: int, batch: int = 8, iters: int = 8,
         "edge_updates_per_s_G": round(r.size * batch / per / 1e9, 3),
         "valid": info["valid"],
     }
+
+
+def measure_flagship_scale(n: int, batch: int = 8, iters: int = 6,
+                           dtype: str = "float32") -> dict:
+    """GPT-ST pretrain FULL train step (forward + masked-MAE + KL +
+    grads + Adam) at large N (VERDICT r4 weak #5: the flagship had no
+    at-scale number — every large-N datum was TGCN/MSDR). The GPT-ST
+    ops (cap routing, hyperTem, parameter pools,
+    `model/Pretrain_model/GPTST.py:459-493`) are all linear in N, so
+    synthetic data at N=16,384 exercises the real compute shape.
+    Returns ms/step, samples/s and the step's flop context from XLA's
+    cost model."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gptst_tpu.config import default_config
+    from gptst_tpu.models.build import build_model
+    from gptst_tpu.train.loss import build_loss
+    from gptst_tpu.train.step import make_loss_terms, make_train_step
+    from scripts.spmm_bench import time_chained
+
+    cfg = default_config("PEMS08", mode="pretrain", model="STGCN")
+    cfg = cfg.replace(num_nodes=n, batch_size=batch, change_epoch=1,
+                      log_dir=None, compute_dtype=dtype)
+    if dtype == "bfloat16":
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
+    else:
+        jax.config.update("jax_default_matmul_precision", "default")
+
+    init_fn, forward = build_model(cfg, scaler_zeros=0.0)
+    params = init_fn(jax.random.PRNGKey(0))
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                     optax.adam(cfg.lr_init))
+    opt_state = tx.init(params)
+    loss_fn = build_loss(cfg.loss_func, 0.0, 1.0, cfg.mape_thresh, True)
+    step_fn = make_train_step(make_loss_terms(forward, loss_fn, cfg), tx)
+
+    x = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (batch, cfg.lag, n, cfg.input_base_dim + 2))
+    rng = jax.random.PRNGKey(2)
+    epoch = jnp.asarray(5, jnp.int32)
+    sc = jnp.asarray(0, jnp.int32)
+
+    def chained(carry, x, rng, epoch, sc):
+        p, o = carry
+        p, o, _, _ = step_fn(p, o, x, x, rng, epoch, sc)
+        return (p, o)
+
+    per, info = time_chained(chained, (params, opt_state), iters=iters,
+                             operands=(x, rng, epoch, sc))
+    gflops = None
+    try:
+        ca = jax.jit(step_fn).lower(
+            params, opt_state, x, x, rng, epoch, sc).compile(
+        ).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        gflops = round(float(ca.get("flops", 0.0)) / 1e9, 2)
+    except Exception:
+        pass
+    out = {
+        "n": n, "batch": batch, "dtype": dtype,
+        "ms_per_step": round(per * 1e3, 3),
+        "samples_per_s": round(batch / per, 2),
+        "valid": info["valid"],
+    }
+    if gflops:
+        out["step_gflops"] = gflops
+        out["achieved_tflops"] = round(gflops / per / 1e3, 2)
+    return out
 
 
 def main() -> None:
@@ -295,6 +369,13 @@ def main() -> None:
         "f32_samples_per_s": round(f32_sps, 2),
         "bf16_samples_per_s": round(bf16_sps, 2),
     }
+    # the recorded baseline figure is the round-3 bf16 rate; when the
+    # headline mode is float32 the ratio crosses precision modes —
+    # carry both dtypes so downstream readers can't misread it
+    # (ADVICE r4 #4)
+    if baseline:
+        out["baseline_dtype"] = "bfloat16"
+        out["headline_dtype"] = fast_mode
     if gflops_step is not None:
         out["step_gflops"] = round(gflops_step, 2)
     if mfu is not None:
@@ -306,27 +387,46 @@ def main() -> None:
     sparse = {}
     # the tunneled compile service rejects the largest modules (batch 8
     # at 64k nodes -> tpu_compile_helper crash); per-size batch ladders
-    # fall back rather than losing the measurement
-    cases = [("16384", 16384, (8, 4, 2), "float32", "TGCN"),
-             ("16384_bf16", 16384, (8, 4, 2), "bfloat16", "TGCN"),
-             ("65536", 65536, (4, 2), "float32", "TGCN"),
-             # MSDR's K=4 carry x 2 layers x 24 scanned steps needs
-             # ~20 GB of backward residuals at batch 8 — start at 4
-             ("msdr_16384", 16384, (4, 2), "float32", "MSDR")]
-    for key, nn_, ladder, dt, mdl in cases:
+    # fall back rather than losing the measurement. 64k rows run under
+    # scan-cell remat ("full", `ops/recurrent.remat_cell`) — without it
+    # the T-step backward residuals (~20 GB at batch 8) forced the r4
+    # ladder down to batch 4 f32-only (VERDICT r4 weak #2).
+    cases = [("16384", 16384, (8, 4, 2), "float32", "TGCN", "none"),
+             ("16384_bf16", 16384, (8, 4, 2), "bfloat16", "TGCN", "none"),
+             ("65536", 65536, (8, 4, 2), "float32", "TGCN", "full"),
+             ("65536_bf16", 65536, (8, 4, 2), "bfloat16", "TGCN", "full"),
+             ("msdr_16384", 16384, (4, 2), "float32", "MSDR", "none"),
+             ("msdr_65536", 65536, (4, 2, 1), "float32", "MSDR", "full")]
+    for key, nn_, ladder, dt, mdl, rm in cases:
         last_err = None
         for b in ladder:
             try:
                 sparse[key] = dict(
                     measure_sparse_model(nn_, batch=b, dtype=dt,
-                                         model_name=mdl),
-                    batch=b, dtype=dt, model=mdl)
+                                         model_name=mdl, remat=rm),
+                    batch=b, dtype=dt, model=mdl, remat=rm)
                 break
             except Exception as e:
                 last_err = f"{type(e).__name__}: {e}"[:200]
         else:
             sparse[key] = {"error": last_err}
     out["sparse_tgcn_train_step"] = sparse
+
+    # flagship at scale: GPT-ST pretrain step at N=16,384, f32 + bf16
+    flagship = {}
+    for key, dt, ladder in (("16384", "float32", (8, 4, 2)),
+                            ("16384_bf16", "bfloat16", (8, 4, 2))):
+        last_err = None
+        for b in ladder:
+            try:
+                flagship[key] = measure_flagship_scale(16384, batch=b,
+                                                       dtype=dt)
+                break
+            except Exception as e:
+                last_err = f"{type(e).__name__}: {e}"[:200]
+        else:
+            flagship[key] = {"error": last_err}
+    out["gptst_pretrain_at_scale"] = flagship
     print(json.dumps(out))
 
 

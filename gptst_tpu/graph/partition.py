@@ -20,6 +20,7 @@ The reference has no counterpart (single GPU, N <= 266 dense,
 from __future__ import annotations
 
 import dataclasses
+from collections import deque
 
 import numpy as np
 
@@ -50,14 +51,22 @@ def rcm_order_coo(rows: np.ndarray, cols: np.ndarray,
     ptr = np.cumsum(ptr)
     degree = np.diff(ptr)
     visited = np.zeros(n, dtype=bool)
+    # component starts: advance a cursor over the degree-sorted node
+    # order instead of an O(n) scan per component (ADVICE r4: a graph
+    # with many components/isolated nodes made this O(n*components)).
+    # Stable sort keeps the original tie-break (smallest index among
+    # minimum-degree unvisited nodes).
+    by_degree = np.argsort(degree, kind="stable")
+    cursor = 0
     order: list[int] = []
     while len(order) < n:
-        start = int(np.flatnonzero(~visited)[
-            np.argmin(degree[~visited])])
+        while visited[by_degree[cursor]]:
+            cursor += 1
+        start = int(by_degree[cursor])
         visited[start] = True
-        queue = [start]
+        queue = deque([start])
         while queue:
-            u = queue.pop(0)
+            u = queue.popleft()
             order.append(u)
             nbrs = c[ptr[u]:ptr[u + 1]]
             nbrs = nbrs[~visited[nbrs]]

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -871,8 +872,13 @@ def _dia_kernel_ring(ndiag, w, vals_ref, x_hbm, out_ref, ring, sems):
 # Opt-in for the ring-buffered DIA variant (x blocks load once each
 # instead of once per window spec — saves 2w/(2w+1)+1... of the x
 # traffic). Kept off by default until its on-chip numbers beat the
-# BlockSpec variant's recorded rows.
+# BlockSpec variant's recorded rows. Read ONCE at import (ADVICE r4:
+# a trace-time read silently ignored mid-process flips after a jitted
+# step was compiled and cached, and mixed traced shapes could run
+# different variants in one process); tests monkeypatch
+# `spmm._DIA_USE_RING` directly.
 _DIA_RING_ENV = "GPTST_DIA_RING"
+_DIA_USE_RING = bool(os.environ.get(_DIA_RING_ENV))
 
 
 def _dia_ring_call(dia: DIABand, x_pad: jnp.ndarray,
@@ -917,9 +923,7 @@ def _dia_impl(dia: DIABand, x: jnp.ndarray) -> jnp.ndarray:
     x_pad = jnp.zeros((dia.n_pad, f_pad), x.dtype)
     x_pad = x_pad.at[:n, :f].set(flat)
 
-    import os
-
-    if os.environ.get(_DIA_RING_ENV):
+    if _DIA_USE_RING:
         out = _dia_ring_call(dia, x_pad, feat_tile)
         out = out[:n, :f]
         return jnp.moveaxis(out.reshape(n, -1, c), 0, 1).reshape(
@@ -951,7 +955,8 @@ def _dia_impl(dia: DIABand, x: jnp.ndarray) -> jnp.ndarray:
             flops=2 * rt * ndiag * tb * tb * f_pad,
             bytes_accessed=(rt * ndiag * tb * tb * vb
                             * (f_pad // feat_tile)
-                            + (ndiag + 1) * dia.n_pad * f_pad * 4),
+                            + (ndiag + 1) * dia.n_pad * f_pad
+                            * x_pad.dtype.itemsize),
             transcendentals=0),
     )(dia.vals, *([x_pad] * ndiag))
     out = out[:n, :f]

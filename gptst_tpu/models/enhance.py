@@ -19,6 +19,25 @@ import jax.numpy as jnp
 
 from gptst_tpu.models.gptst import GPTST, GPTSTConfig
 
+# torch nn.Linear default init (reset_parameters): weight
+# kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)); bias
+# U(+-1/sqrt(fan_in)). The eval-mode head self-initializes in the lift
+# protocol (STGCN confs set xavier=False, so `Run.py:79-85` never
+# re-inits it) — match the reference's effective distribution so the
+# two frameworks' eval runs start from the same law.
+_torch_kernel = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in",
+                                                 "uniform")
+
+
+def _torch_linear(feat: int, fan_in: int, name: str | None = None) -> nn.Dense:
+    bound = float(fan_in) ** -0.5
+
+    def bias_init(rng, shape, dtype=jnp.float32):
+        return jax.random.uniform(rng, shape, dtype, -bound, bound)
+
+    return nn.Dense(feat, kernel_init=_torch_kernel, bias_init=bias_init,
+                    name=name)
+
 
 class Fusion(nn.Module):
     """Gated fusion: z = sigmoid(W_s f + W_t t);
@@ -28,11 +47,11 @@ class Fusion(nn.Module):
 
     @nn.compact
     def __call__(self, flow_eb, time_eb):
-        xs = nn.Dense(self.dim)(flow_eb)
-        xt = nn.Dense(self.dim)(time_eb)
+        xs = _torch_linear(self.dim, self.dim)(flow_eb)
+        xt = _torch_linear(self.dim, self.dim)(time_eb)
         z = jax.nn.sigmoid(xs + xt)
         h = z * flow_eb + (1.0 - z) * time_eb
-        return nn.Dense(self.dim)(h)
+        return _torch_linear(self.dim, self.dim)(h)
 
 
 class EnhanceHead(nn.Module):
@@ -44,7 +63,8 @@ class EnhanceHead(nn.Module):
 
     @nn.compact
     def __call__(self, source, pretrain_eb):
-        x_t1 = nn.Dense(self.hidden_dim)(source[..., : self.input_base_dim])
+        x_t1 = _torch_linear(self.hidden_dim, self.input_base_dim)(
+            source[..., : self.input_base_dim])
         return Fusion(self.hidden_dim)(pretrain_eb, x_t1)
 
 

@@ -39,6 +39,9 @@ class CCRNNConfig:
     n_rnn_layers: int = 1
     n_gconv_layers: int = 1
     cl_decay_steps: int = 300
+    # activation remat for the scanned encoder/decoder steps:
+    # none|full|dots (`ops/recurrent.remat_cell`)
+    remat: str = "none"
 
 
 def svd_graph_embeddings(support: np.ndarray, n_dim: int):
@@ -169,8 +172,11 @@ class CCRNN(nn.Module):
         graphs.append(nn.leaky_relu(v1 @ v2))
         graphs = jnp.stack(graphs)                # (3, N, N)
 
+        from gptst_tpu.ops.recurrent import remat_cell
+
         h0 = jnp.zeros((c.n_rnn_layers, B, N, c.hidden_size), x.dtype)
-        enc = nn.scan(_EncoderStep, variable_broadcast="params",
+        enc = nn.scan(remat_cell(_EncoderStep, c.remat),
+                      variable_broadcast="params",
                       split_rngs={"params": False},
                       in_axes=(1, nn.broadcast), out_axes=1)(c)
         states, _ = enc(h0, x, graphs)
@@ -186,7 +192,8 @@ class CCRNN(nn.Module):
             use_tf = jnp.zeros((self.horizon,), bool)
             tgt = jnp.zeros((self.horizon, B, N, self.dim_out), x.dtype)
 
-        dec = nn.scan(_DecoderStep, variable_broadcast="params",
+        dec = nn.scan(remat_cell(_DecoderStep, c.remat),
+                      variable_broadcast="params",
                       split_rngs={"params": False},
                       in_axes=(0, nn.broadcast), out_axes=0)(c, self.dim_out)
         dec_in0 = jnp.zeros((B, N, self.dim_out), x.dtype)

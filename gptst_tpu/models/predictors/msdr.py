@@ -43,6 +43,10 @@ class MSDRConfig:
     pre_k: int = 4
     pre_v: int = 1
     adapt_rank: int = 10
+    # activation remat for the scanned seq2seq step: none|full|dots
+    # (`ops/recurrent.remat_cell`); the K=4 multi-step carry x 2 layers
+    # x 24 scanned steps is the worst residual blowup in the model zoo.
+    remat: str = "none"
 
 
 def dual_random_walk_supports(adj: np.ndarray) -> list[np.ndarray]:
@@ -172,18 +176,21 @@ class MSDR(nn.Module):
         dec_adps = tuple(build_adp("dec", i)
                          for i in range(c.num_rnn_layers))
 
+        from gptst_tpu.ops.recurrent import remat_cell
+
+        step_cls = remat_cell(_SeqStep, c.remat)
         x = nn.Dense(c.rnn_units, name="enc_mlp")(x)     # (B,T,N,U)
         h0 = jnp.zeros((c.num_rnn_layers, B, c.pre_k, N, c.rnn_units),
                        x.dtype)
         enc = nn.scan(
-            _SeqStep, variable_broadcast="params",
+            step_cls, variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=(1, nn.broadcast, nn.broadcast), out_axes=1,
         )(c, c.rnn_units, name="encoder")
         hx_k, enc_out = enc(h0, x, supports, enc_adps)
 
         dec = nn.scan(
-            _SeqStep, variable_broadcast="params",
+            step_cls, variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=(1, nn.broadcast, nn.broadcast), out_axes=1,
         )(c, c.rnn_units, name="decoder")

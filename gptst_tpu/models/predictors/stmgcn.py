@@ -31,6 +31,9 @@ class STMGCNConfig:
     lstm_num_layers: int = 3
     gcn_hidden_dim: int = 64
     cheb_k: int = 2
+    # activation remat for the LSTM cells: none|full|dots
+    # (`ops/recurrent.remat_cell`)
+    remat: str = "none"
 
 
 class MultiSupportGCN(nn.Module):
@@ -70,10 +73,13 @@ class ContextGatedLSTM(nn.Module):
         s = jax.nn.sigmoid(fc(jax.nn.relu(fc(z))))   # eq. 8
         rew = jnp.einsum("btnf,bt->btnf", obs, s)    # eq. 9
 
+        from gptst_tpu.ops.recurrent import remat_cell
+
         seq = jnp.swapaxes(rew, 1, 2).reshape(B * N, T, D)
         h = seq
+        cell_cls = remat_cell(nn.OptimizedLSTMCell, c.remat)
         for i in range(c.lstm_num_layers):
-            h = nn.RNN(nn.OptimizedLSTMCell(c.lstm_hidden_dim),
+            h = nn.RNN(cell_cls(c.lstm_hidden_dim),
                        name=f"lstm{i}")(h)
         return h[:, -1].reshape(B, N, c.lstm_hidden_dim)
 

@@ -24,6 +24,11 @@ class TGCNConfig:
     num_nodes: int
     rnn_units: int = 100
     lam: float = 0.0015  # L2 weight used by the reference's lreg variant
+    # activation remat for the scanned GRU cell: none|full|dots
+    # (`ops/recurrent.remat_cell`) — trades ~1 recomputed forward for
+    # O(T) backward residual memory; required to hold batch 8 at 64k
+    # nodes. CLI: `--remat full`.
+    remat: str = "none"
 
 
 class TGCN(nn.Module):
@@ -37,7 +42,8 @@ class TGCN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, support: jnp.ndarray) -> jnp.ndarray:
         B, _, N, _ = x.shape
-        scanned = scan_over_time(GraphGRUCell, num_units=self.cfg.rnn_units)
+        scanned = scan_over_time(GraphGRUCell, num_units=self.cfg.rnn_units,
+                                 remat=self.cfg.remat)
         h0 = jnp.zeros((B, N, self.cfg.rnn_units), x.dtype)
         h, _ = scanned(h0, x, support)
         out = nn.Dense(self.horizon * self.dim_out)(h)  # (B, N, T_out*D)

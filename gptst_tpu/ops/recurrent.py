@@ -53,7 +53,45 @@ class GraphGRUCell(nn.Module):
         return h_new, h_new
 
 
-def scan_over_time(cell_cls, n_broadcast: int = 1, **cell_kwargs):
+def remat_cell(cell_cls, remat: str = "none"):
+    """Wrap a scan cell in activation rematerialization (`jax.checkpoint`
+    lifted through flax). The backward pass of a T-step scan otherwise
+    stores every cell's intermediate activations for all T steps —
+    ~20 GB for TGCN at 64k nodes / batch 8 — which is what capped the
+    round-4 driver bench at batch 4 (`bench.py` ladder). With remat the
+    saved residuals shrink to the per-step carry (+ whatever the policy
+    keeps) and the cell forward is recomputed during backward.
+
+    remat: "none" (store everything), "full" (save only the policy-free
+    minimum; ~1 extra forward of FLOPs in backward), or "dots" (save MXU
+    dot outputs, recompute elementwise chains —
+    `jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims`, the
+    right trade for GRU-style cells whose residual bulk is elementwise
+    gate activations). Values are bitwise-identical either way (same
+    ops, recomputed): `tests/test_remat.py` asserts exact trajectory
+    invariance.
+    """
+    if remat == "none":
+        return cell_cls
+    if remat == "full":
+        policy = None
+    elif remat == "dots":
+        policy = jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+    else:
+        raise ValueError(f"remat must be none|full|dots, got {remat!r}")
+    # prevent_cse=False is safe (and faster) inside scan/while bodies,
+    # which is the only place these cells run.
+    wrapped = nn.remat(cell_cls, policy=policy, prevent_cse=False)
+    # flax derives auto-names (and therefore param-tree paths and init
+    # RNG folds) from the class __name__; restore the original so
+    # remat on/off yields the SAME param tree — checkpoints stay
+    # loadable and init is bitwise identical across modes.
+    wrapped.__name__ = cell_cls.__name__
+    return wrapped
+
+
+def scan_over_time(cell_cls, n_broadcast: int = 1, remat: str = "none",
+                   **cell_kwargs):
     """Lift a cell over the time axis of (B, T, N, D) inputs.
 
     cell_cls.__call__(carry, x_t, *broadcast_args) -> (carry', y_t).
@@ -61,7 +99,7 @@ def scan_over_time(cell_cls, n_broadcast: int = 1, **cell_kwargs):
     (h_final, ys) with ys stacked on axis 1.
     """
     return nn.scan(
-        cell_cls,
+        remat_cell(cell_cls, remat),
         variable_broadcast="params",
         split_rngs={"params": False, "dropout": True},
         in_axes=tuple([1] + [nn.broadcast] * n_broadcast),

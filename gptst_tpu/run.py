@@ -243,7 +243,10 @@ def main(argv: Optional[list[str]] = None) -> int:
         tr.save_checkpoint(_pretrain_ckpt_path(cfg, save=True))
     logger.info("best loss: %.6f  avg MAE: %.4f", result["best_loss"],
                 result["report"]["average"][0])
-    dump_metrics(result["report"])
+    # carry best_loss alongside the per-horizon report so experiment
+    # harnesses (scripts/lift_experiment.py pretrain-quality control)
+    # can read it without log parsing
+    dump_metrics(dict(result["report"], best_loss=result["best_loss"]))
     return 0
 
 

@@ -45,8 +45,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_sandbox(root: str, n: int, steps: int, data_seed: int,
-                  avg_degree: int = 6) -> None:
-    """Write the shared dataset + graph + patched conf tree."""
+                  avg_degree: int = 6, model: str = "STGCN") -> None:
+    """Write the shared dataset + graph + patched conf tree. Idempotent
+    per (root, n, steps, data_seed): when the sandbox already exists it
+    is left untouched (so a jax-side run can share a sandbox with a
+    torch-side run already in flight) apart from ensuring the selected
+    predictor's conf is patched."""
     import dataclasses
 
     import numpy as np
@@ -55,9 +59,22 @@ def build_sandbox(root: str, n: int, steps: int, data_seed: int,
     from gptst_tpu.data.synthetic import synthesize_raw_series
     from gptst_tpu.graph.artifacts import random_sensor_graph
 
+    def _patch_conf(rel):
+        p = os.path.join(root, "conf", rel)
+        with open(p) as f:
+            txt = f.read()
+        patched = txt.replace("num_nodes = 170", f"num_nodes = {n}")
+        if patched != txt:
+            with open(p, "w") as f:
+                f.write(patched)
+
+    ddir = os.path.join(root, "data", "PEMS08")
+    if os.path.exists(os.path.join(ddir, "PEMS08.npz")):
+        _patch_conf(f"{model}/PEMS08.conf")
+        return
+
     spec = dataclasses.replace(get_dataset_spec("PEMS08"), num_nodes=n)
     series = synthesize_raw_series(spec, num_steps=steps, seed=data_seed)
-    ddir = os.path.join(root, "data", "PEMS08")
     os.makedirs(ddir, exist_ok=True)
     np.savez_compressed(os.path.join(ddir, "PEMS08.npz"),
                         data=series.astype(np.float32))
@@ -74,13 +91,8 @@ def build_sandbox(root: str, n: int, steps: int, data_seed: int,
     if os.path.isdir(cdir):
         shutil.rmtree(cdir)
     shutil.copytree("/root/reference/conf", cdir)
-    for rel in ("GPTST_pretrain/PEMS08.conf", "STGCN/PEMS08.conf"):
-        p = os.path.join(cdir, rel)
-        with open(p) as f:
-            txt = f.read()
-        txt = txt.replace("num_nodes = 170", f"num_nodes = {n}")
-        with open(p, "w") as f:
-            f.write(txt)
+    for rel in ("GPTST_pretrain/PEMS08.conf", f"{model}/PEMS08.conf"):
+        _patch_conf(rel)
     os.makedirs(os.path.join(root, "run"), exist_ok=True)
 
 
@@ -88,21 +100,26 @@ def build_sandbox(root: str, n: int, steps: int, data_seed: int,
 # JAX side: through the real CLI
 # --------------------------------------------------------------------------
 
-def run_jax_side(root: str, n: int, pre_epochs: int, epochs: int) -> dict:
+def run_jax_side(root: str, n: int, pre_epochs: int, epochs: int,
+                 model: str = "STGCN", save_name: str = "jax_save") -> dict:
     from gptst_tpu import run as gt_run
 
-    log_dir = os.path.join(root, "jax_save")
+    log_dir = os.path.join(root, save_name)
     os.makedirs(log_dir, exist_ok=True)
 
     def flags(mode, extra=()):
-        return ["-dataset", "PEMS08", "-mode", mode, "-model", "STGCN",
+        return ["-dataset", "PEMS08", "-mode", mode, "-model", model,
                 "-num_nodes", str(n), "-data_root",
                 os.path.join(root, "data"), "-log_dir", log_dir,
                 "-log_step", "100000", *extra]
 
     out = {}
-    rc = gt_run.main(flags("pretrain", ["-epochs", str(pre_epochs)]))
+    pre_mpath = os.path.join(log_dir, "metrics_pretrain.json")
+    rc = gt_run.main(flags("pretrain", ["-epochs", str(pre_epochs),
+                                        "-metrics_out", pre_mpath]))
     assert rc == 0, "jax pretrain failed"
+    with open(pre_mpath) as f:
+        pretrain_best = json.load(f).get("best_loss")
     for mode in ("ori", "eval"):
         mpath = os.path.join(log_dir, f"metrics_{mode}.json")
         rc = gt_run.main(flags(mode, ["-epochs", str(epochs),
@@ -115,7 +132,91 @@ def run_jax_side(root: str, n: int, pre_epochs: int, epochs: int) -> dict:
         "ori_rmse": out["ori"][1], "eval_rmse": out["eval"][1],
         "lift_pct": 100.0 * (out["ori"][0] - out["eval"][0])
         / out["ori"][0],
+        "pretrain_best_loss": pretrain_best,
     }
+
+
+def run_jax_transplant_eval(root: str, n: int, epochs: int,
+                            model: str = "STGCN") -> dict:
+    """Bisection arm (VERDICT r4 weak #1): run OUR eval mode with the
+    TORCH-pretrained encoder transplanted in. Isolates encoder quality
+    from the eval head/training path: if this arm's MAE matches the
+    torch eval MAE, our eval path is fine and the deficit is pretrain
+    quality; if it matches our own eval MAE instead, the encoder is
+    interchangeable and the deficit is in the head/predictor training."""
+    import numpy as np
+
+    if not hasattr(np, "mat"):
+        np.mat = np.asmatrix
+    import jax
+    import orbax.checkpoint as ocp
+    import torch
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests"))
+    from parity_utils import as_numpy_tree, transplant_gptst
+
+    from gptst_tpu import run as gt_run
+    from gptst_tpu.config.config import default_config
+    from gptst_tpu.models.build import build_pretrain
+
+    pth = os.path.join(root, "ref_save", "pretrain.pth")
+    state = torch.load(pth, map_location="cpu")
+
+    # instantiate the reference module as a weight container
+    with _ref_env(root):
+        orig_to = torch.Tensor.to
+
+        def _to(self, *a, **kw):
+            if a and isinstance(a[0], (str, torch.device)) \
+                    and "cuda" in str(a[0]):
+                return orig_to(self, "cpu")
+            return orig_to(self, *a, **kw)
+
+        torch.Tensor.to = _to
+        try:
+            from model.Pretrain_model.GPTST import GPTST_Model
+
+            args, _ = _ref_args("pretrain", 1, 1,
+                                os.path.join(root, "ref_save"))
+            # set during data loading in the real flow (`Run.py:66-68`,
+            # `lib/load_dataset.py:50-53`); irrelevant for a weight
+            # container — stored on self but unused by state_dict
+            args.scaler_zeros = 0.0
+            args.scaler_zeros_day = 0.0
+            args.scaler_zeros_week = 0.0
+            args.interval = 5
+            args.week_day = 7
+            ref = GPTST_Model(args)
+            ref.load_state_dict(state)
+        finally:
+            torch.Tensor.to = orig_to
+
+    # our template tree (cfg must mirror the jax-side pretrain run)
+    cfg = default_config("PEMS08", mode="pretrain", model=model).replace(
+        num_nodes=n, data_root=os.path.join(root, "data"))
+    init_fn, _ = build_pretrain(cfg, scaler_zeros=0.0)
+    tree = as_numpy_tree(init_fn(jax.random.PRNGKey(0)))
+    tree["params"] = transplant_gptst(dict(tree["params"]), ref)
+
+    log_dir = os.path.join(root, "jax_save_T")
+    ckpt = os.path.join(log_dir, "PEMS08", cfg.load_pretrain_path)
+    os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+    if os.path.isdir(ckpt):
+        shutil.rmtree(ckpt)
+    ocp.PyTreeCheckpointer().save(os.path.abspath(ckpt), tree)
+
+    mpath = os.path.join(log_dir, "metrics_evalT.json")
+    rc = gt_run.main([
+        "-dataset", "PEMS08", "-mode", "eval", "-model", model,
+        "-num_nodes", str(n), "-data_root", os.path.join(root, "data"),
+        "-log_dir", log_dir, "-log_step", "100000",
+        "-epochs", str(epochs), "-metrics_out", mpath])
+    assert rc == 0, "jax transplant eval failed"
+    with open(mpath) as f:
+        avg = json.load(f)["average"]
+    return {"evalT_mae": avg[0], "evalT_rmse": avg[1]}
 
 
 # --------------------------------------------------------------------------
@@ -137,7 +238,8 @@ def _ref_env(root: str):
         os.chdir(old)
 
 
-def _ref_args(mode: str, pre_epochs: int, epochs: int, log_dir: str):
+def _ref_args(mode: str, pre_epochs: int, epochs: int, log_dir: str,
+              model: str = "STGCN"):
     """Reference arg surface via the reference's own parsers
     (`model/Run.py:35-44` including the predictor-attr merge)."""
     import torch
@@ -145,7 +247,7 @@ def _ref_args(mode: str, pre_epochs: int, epochs: int, log_dir: str):
     from lib.Params_pretrain import parse_args
 
     argv, sys.argv = sys.argv, ["Run.py", "-dataset", "PEMS08",
-                                "-mode", mode, "-model", "STGCN"]
+                                "-mode", mode, "-model", model]
     try:
         args = parse_args(torch.device("cpu"))
         args_predictor = None
@@ -191,7 +293,8 @@ def _ref_avg_metrics(model, args, loader, scaler):
     return float(mae), float(rmse)
 
 
-def _ref_one_mode(root: str, mode: str, pre_epochs: int, epochs: int):
+def _ref_one_mode(root: str, mode: str, pre_epochs: int, epochs: int,
+                  model_name: str = "STGCN"):
     import numpy as np
 
     if not hasattr(np, "mat"):
@@ -221,7 +324,8 @@ def _ref_one_mode(root: str, mode: str, pre_epochs: int, epochs: int):
 
         log_dir = os.path.join(root, "ref_save")
         os.makedirs(log_dir, exist_ok=True)
-        args, args_predictor = _ref_args(mode, pre_epochs, epochs, log_dir)
+        args, args_predictor = _ref_args(mode, pre_epochs, epochs, log_dir,
+                                         model=model_name)
         init_seed(args.seed, args.seed_mode)
 
         (train_loader, val_loader, test_loader, scaler_data, scaler_day,
@@ -269,10 +373,30 @@ def _ref_one_mode(root: str, mode: str, pre_epochs: int, epochs: int):
         trainer = Trainer(model, loss, loss_kl, optimizer, train_loader,
                           val_loader, test_loader, scaler_data, args,
                           lr_scheduler=lr_scheduler)
-        trainer.train()
+
+        # capture the trainer's "best loss:" line (BasicTrainer.py:183)
+        # for the pretrain-quality control (VERDICT r4 weak #1a)
+        import logging
+        import re
+
+        best_losses = []
+
+        class _Capture(logging.Handler):
+            def emit(self, record):
+                m = re.search(r"best loss: ([0-9.eE+-]+)",
+                              record.getMessage())
+                if m:
+                    best_losses.append(float(m.group(1)))
+
+        cap = _Capture()
+        trainer.logger.addHandler(cap)
+        try:
+            trainer.train()
+        finally:
+            trainer.logger.removeHandler(cap)
 
         if mode == "pretrain":
-            return None
+            return best_losses[-1] if best_losses else None
         # best state was saved to best_path (debug=True); score it
         model.load_state_dict(torch.load(trainer.best_path))
         mae, rmse = _ref_avg_metrics(model, args, test_loader, scaler_data)
@@ -281,16 +405,20 @@ def _ref_one_mode(root: str, mode: str, pre_epochs: int, epochs: int):
         torch.Tensor.to = orig_to
 
 
-def run_ref_side(root: str, pre_epochs: int, epochs: int) -> dict:
+def run_ref_side(root: str, pre_epochs: int, epochs: int,
+                 model: str = "STGCN") -> dict:
     with _ref_env(root):
-        _ref_one_mode(root, "pretrain", pre_epochs, epochs)
-        ori_mae, ori_rmse = _ref_one_mode(root, "ori", pre_epochs, epochs)
+        pretrain_best = _ref_one_mode(root, "pretrain", pre_epochs, epochs,
+                                      model_name=model)
+        ori_mae, ori_rmse = _ref_one_mode(root, "ori", pre_epochs, epochs,
+                                          model_name=model)
         eval_mae, eval_rmse = _ref_one_mode(root, "eval", pre_epochs,
-                                            epochs)
+                                            epochs, model_name=model)
     return {
         "ori_mae": ori_mae, "eval_mae": eval_mae,
         "ori_rmse": ori_rmse, "eval_rmse": eval_rmse,
         "lift_pct": 100.0 * (ori_mae - eval_mae) / ori_mae,
+        "pretrain_best_loss": pretrain_best,
     }
 
 
@@ -302,27 +430,41 @@ def main() -> None:
     p.add_argument("--pre-epochs", type=int, default=20)
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--data-seed", type=int, default=0)
+    p.add_argument("--model", default="STGCN",
+                   help="predictor family (STGCN or TGCN; the lift "
+                        "claim quantifies over `model/Model.py:55-93`)")
     p.add_argument("--workdir", default=None,
                    help="sandbox dir (default: a fresh tempdir)")
     p.add_argument("--skip-ref", action="store_true")
     p.add_argument("--skip-jax", action="store_true")
+    p.add_argument("--transplant", action="store_true",
+                   help="extra bisection arm: our eval run with the "
+                        "torch-pretrained encoder (needs the ref side's "
+                        "pretrain.pth in <workdir>/ref_save)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
     root = args.workdir or tempfile.mkdtemp(prefix="lift_")
     os.makedirs(root, exist_ok=True)
-    build_sandbox(root, args.n, args.steps, args.data_seed)
+    build_sandbox(root, args.n, args.steps, args.data_seed,
+                  model=args.model)
 
     result = {"n": args.n, "steps": args.steps,
               "pre_epochs": args.pre_epochs, "epochs": args.epochs,
-              "data_seed": args.data_seed, "workdir": root}
+              "data_seed": args.data_seed, "model": args.model,
+              "workdir": root}
     if not args.skip_jax:
         result["jax"] = run_jax_side(root, args.n, args.pre_epochs,
-                                     args.epochs)
+                                     args.epochs, model=args.model)
         print(json.dumps({"jax": result["jax"]}))
     if not args.skip_ref:
-        result["ref"] = run_ref_side(root, args.pre_epochs, args.epochs)
+        result["ref"] = run_ref_side(root, args.pre_epochs, args.epochs,
+                                     model=args.model)
         print(json.dumps({"ref": result["ref"]}))
+    if args.transplant:
+        result["jax_transplant"] = run_jax_transplant_eval(
+            root, args.n, args.epochs, model=args.model)
+        print(json.dumps({"jax_transplant": result["jax_transplant"]}))
 
     print(json.dumps(result))
     if args.out:

@@ -1,0 +1,223 @@
+"""MSDR step breakdown (VERDICT r4 weak #3/#4): where do the 502 ms at
+16k nodes go?
+
+The tunneled backend's profiler is unreliable for sub-ms attribution
+(BASELINE.md "the axon tunnel lies four ways"), so the breakdown is by
+ABLATION: each arm times a jitted program containing a subset of the
+step's work through the anchored harness (`time_chained`), and the
+differences attribute cost to components:
+
+  full        - fwd+bwd+Adam train step (the product step)
+  fwd         - forward only
+  fwd_noatt   - forward, pre_k attention replaced by the last state
+  fwd_nogconv - forward, diffusion gconv replaced by a plain linear
+  supports    - the per-forward sparse-adaptive support builds alone
+  spmm_unit   - one aggregation application at the step's feature width
+
+  python scripts/msdr_profile.py --n 16384 --batch 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_case(n: int, batch: int, remat: str = "none"):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gptst_tpu.kernels.sddmm import SDDMMPattern
+    from gptst_tpu.kernels.spmm import BlockCSR, coo_split_mask
+    from gptst_tpu.models.predictors.msdr import MSDR, MSDRConfig
+    from gptst_tpu.ops.graph_conv import make_support_coo
+    from scripts.spmm_bench import road_graph_edges
+
+    rows, cols = road_graph_edges(n, 16, 48)
+    r, c = rows, cols
+    deg_out = np.maximum(np.bincount(r, minlength=n), 1)
+    deg_in = np.maximum(np.bincount(c, minlength=n), 1)
+    su1 = make_support_coo(c, r, (1.0 / deg_out[r]).astype(np.float32),
+                           n, reorder=False, vals_dtype=jnp.bfloat16)
+    su2 = make_support_coo(r, c, (1.0 / deg_in[c]).astype(np.float32),
+                           n, reorder=False, vals_dtype=jnp.bfloat16)
+    mk = coo_split_mask(c, r, n)
+    pat = SDDMMPattern.from_bcsr(BlockCSR.from_coo(
+        c[mk], r[mk], (1.0 / deg_out[r]).astype(np.float32)[mk], n))
+    sup = ((su1, su2), pat)
+    cfg = MSDRConfig(num_nodes=n, rnn_units=64, num_rnn_layers=2,
+                     remat=remat)
+    model = MSDR(cfg=cfg, dim_in=1, dim_out=1, horizon=12)
+    rng = jax.random.PRNGKey(0)
+    xb = jax.random.normal(rng, (batch, 12, n, 1), jnp.float32)
+    yb = jax.random.normal(jax.random.PRNGKey(1), (batch, 12, n, 1))
+    params = model.init(jax.random.PRNGKey(2), xb, *sup)
+    return model, cfg, params, xb, yb, sup, (r, c)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=16384)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--remat", default="none")
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gptst_tpu.models.predictors import msdr as msdr_mod
+    from scripts.spmm_bench import time_chained
+
+    model, cfg, params, xb, yb, sup, (r, c) = build_case(
+        args.n, args.batch, args.remat)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
+    opt_state = tx.init(params)
+    out = {"n": args.n, "batch": args.batch, "nnz": int(r.size),
+           "remat": args.remat}
+
+    def run(tag, fn, carry, operands, iters=None):
+        per, info = time_chained(fn, carry, iters=iters or args.iters,
+                                 operands=operands)
+        out[tag] = {"ms": round(per * 1e3, 3), "valid": info["valid"]}
+        print(json.dumps({tag: out[tag]}), flush=True)
+
+    # full train step
+    def train_step(carry, x, y, s):
+        p, o = carry
+
+        def loss_fn(q):
+            pred = model.apply(q, x, *s)
+            return jnp.abs(pred - y).mean()
+
+        _, g = jax.value_and_grad(loss_fn)(p)
+        up, o = tx.update(g, o, p)
+        return (optax.apply_updates(p, up), o)
+
+    run("full", train_step, (params, opt_state), (xb, yb, sup))
+
+    # forward only (carry the input, apply params as operand —
+    # perturbation rides the carry so dispatches stay distinct)
+    def fwd(x, p, s):
+        return x + 1e-6 * model.apply(p, x[:, :12], *s).mean()
+
+    x24 = jnp.concatenate([xb, xb], axis=1)
+
+    def fwd_c(x, p, s):
+        return x.at[:, :12].add(1e-6 * model.apply(p, x[:, :12], *s))
+
+    run("fwd", fwd_c, xb, (params, sup))
+
+    # forward without the pre_k attention: monkeypatch-free ablation by
+    # zeroing att params is NOT an ablation (compute still runs), so we
+    # patch the module class method
+    orig_call = msdr_mod.GMSDRCell.__call__
+
+    def call_noatt(self, hx_k, x, supports, adp):
+        import flax.linen as nn
+        c = self.cfg
+        B, K, N, U = hx_k.shape
+        pre_h = hx_k[:, -c.pre_v:]
+        pre_h = jnp.moveaxis(pre_h, 1, 2).reshape(B, N, c.pre_v * U)
+        z = jnp.concatenate([x, pre_h], axis=-1)
+        from gptst_tpu.ops.graph_conv import graph_matmul
+        mats = [z]
+        for s_ in supports:
+            mats.append(graph_matmul(s_, z))
+        mats.append(graph_matmul(adp, z))
+        cat = jnp.concatenate(mats, axis=-1)
+        gw = self.param("gconv_w", msdr_mod.xavier_normal,
+                        (cat.shape[-1], U))
+        gb = self.param("gconv_b", nn.initializers.constant(1.0), (U,))
+        conv = nn.leaky_relu(cat @ gw + gb)
+        w = self.param("W", nn.initializers.zeros, (U, U))
+        b = self.param("b", nn.initializers.zeros, (c.num_nodes, U))
+        self.param("R", nn.initializers.zeros, (c.pre_k, c.num_nodes, U))
+        self.param("att_w", nn.initializers.zeros, (c.num_nodes * U, 1))
+        self.param("att_b", nn.initializers.zeros, (1,))
+        output = conv @ w + b[None] + hx_k[:, -1]
+        hx_k = jnp.concatenate([hx_k[:, 1:], output[:, None]], axis=1)
+        return hx_k, output
+
+    msdr_mod.GMSDRCell.__call__ = call_noatt
+    try:
+        run("fwd_noatt", fwd_c, xb, (params, sup))
+    finally:
+        msdr_mod.GMSDRCell.__call__ = orig_call
+
+    # forward without the diffusion gconv (plain linear on z)
+    def call_nogconv(self, hx_k, x, supports, adp):
+        import flax.linen as nn
+        c = self.cfg
+        B, K, N, U = hx_k.shape
+        pre_h = hx_k[:, -c.pre_v:]
+        pre_h = jnp.moveaxis(pre_h, 1, 2).reshape(B, N, c.pre_v * U)
+        z = jnp.concatenate([x, pre_h], axis=-1)
+        nm = 2 + 2 * (c.max_diffusion_step - 1) + c.max_diffusion_step
+        cat = jnp.concatenate([z] * (nm + 1), axis=-1)
+        gw = self.param("gconv_w", msdr_mod.xavier_normal,
+                        (cat.shape[-1], U))
+        gb = self.param("gconv_b", nn.initializers.constant(1.0), (U,))
+        conv = nn.leaky_relu(cat @ gw + gb)
+        w = self.param("W", nn.initializers.zeros, (U, U))
+        b = self.param("b", nn.initializers.zeros, (c.num_nodes, U))
+        r_ = self.param("R", nn.initializers.zeros,
+                        (c.pre_k, c.num_nodes, U))
+        att_w = self.param("att_w", nn.initializers.zeros,
+                           (c.num_nodes * U, 1))
+        att_b = self.param("att_b", nn.initializers.zeros, (1,))
+        new_states = hx_k + r_[None]
+        flat = new_states.reshape(B, K, N * U)
+        weight = jax.nn.softmax(flat @ att_w + att_b, axis=1)
+        att = (flat * weight).sum(axis=1).reshape(B, N, U)
+        output = conv @ w + b[None] + att
+        hx_k = jnp.concatenate([hx_k[:, 1:], output[:, None]], axis=1)
+        return hx_k, output
+
+    msdr_mod.GMSDRCell.__call__ = call_nogconv
+    try:
+        run("fwd_nogconv", fwd_c, xb, (params, sup))
+    finally:
+        msdr_mod.GMSDRCell.__call__ = orig_call
+
+    # the 4 per-forward adaptive support builds alone
+    from gptst_tpu.kernels.sddmm import adaptive_support
+
+    pat = sup[1]
+    e1 = jax.random.normal(jax.random.PRNGKey(5), (args.n, cfg.adapt_rank))
+    e2 = jax.random.normal(jax.random.PRNGKey(6), (cfg.adapt_rank, args.n))
+
+    def supports_only(e, pattern):
+        a, b_ = e
+        s = adaptive_support(pattern, a, b_)
+        # consume the support so it isn't DCE'd; ride the carry
+        return (a + 1e-9 * s.bcsr.vals.astype(jnp.float32).sum(), b_)
+
+    run("adaptive_support_x1", supports_only, (e1, e2), (pat,), iters=8)
+
+    # one aggregation at the step's feature width (z = U + pre_v*U=128)
+    from gptst_tpu.ops.graph_conv import graph_matmul
+
+    z = jax.random.normal(jax.random.PRNGKey(7),
+                          (args.batch, args.n, 128), jnp.float32)
+
+    def spmm_unit(zc, s):
+        return graph_matmul(s[0][0], zc)
+
+    run("spmm_unit_128feat", spmm_unit, z, (sup,), iters=16)
+
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

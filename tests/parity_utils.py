@@ -125,6 +125,63 @@ def transplant_ccrnn(params, ref, khop):
     return params
 
 
+def transplant_gptst(params, ref):
+    """Copy a reference GPTST_Model's weights
+    (`model/Pretrain_model/GPTST.py`) into our flax GPTST param tree
+    (mutates and returns `params`, the "params" dict). Covers the full
+    pretrain graph: encoder + decoder STHCN trunks, in/out projections,
+    mask-policy MLP and the mask embeddings — the map the parity suites
+    (`test_parity_gptst.py`) verify component-by-component. Used by the
+    lift experiment's encoder-transplant bisection arm."""
+
+    def _tf(tf):
+        return {"Dense_0": lin(tf.ln_day), "Dense_1": lin(tf.ln_week),
+                "Dense_2": lin(tf.ln1), "Dense_3": lin(tf.ln2),
+                "Dense_4": lin(tf.ln)}
+
+    def _hypertem(ht):
+        return {"adj": ht.adj.detach().numpy(),
+                "weights_pool": ht.weights_pool.detach().numpy(),
+                "bias_pool": ht.bias_pool.detach().numpy()}
+
+    def _cap(cp):
+        return {"Dense_0": lin(cp.ln_p),
+                "t_adj": cp.t_adj.detach().numpy(),
+                "adj": cp.adj.detach().numpy(),
+                "weights_spa": cp.weights_spa.detach().numpy(),
+                "bias_spa": cp.bias_spa.detach().numpy()}
+
+    def _sthcn(st):
+        return {
+            "node_embeddings": st.node_embeddings.detach().numpy(),
+            "node_embeddings_spg": st.node_embeddings_spg.detach().numpy(),
+            "TimeFeature_0": _tf(st.time_feature1),
+            "TimeFeature_1": _tf(st.time_feature1_),
+            "TimeFeatureSPG_0": _tf(st.time_feature2),
+            "HyperTem_0": _hypertem(st.hyperTem1),
+            "HyperTem_1": _hypertem(st.hyperTem2),
+            "HyperTem_2": _hypertem(st.hyperTem3),
+            "HyperTem_3": _hypertem(st.hyperTem4),
+            "Cap_0": _cap(st.cap1),
+            "Cap_1": _cap(st.cap2),
+        }
+
+    params["dim_in_flow"] = lin(ref.encoder.dim_in_flow)
+    params["encoder"] = _sthcn(ref.encoder.STHCN_encode)
+    params["decoder"] = _sthcn(ref.decoder.STHCN_decode)
+    params["dim_flow_out"] = lin(ref.decoder.dim_flow_out)
+    rl = ref.encoder.MLP_RL
+    params["mlp_rl"] = {
+        "Dense_0": lin(rl.ln1), "Dense_1": lin(rl.ln3),
+        "weights_pool_spa": rl.weights_pool_spa.detach().numpy(),
+        "bias_pool_spa": rl.bias_pool_spa.detach().numpy(),
+        "weights_pool_tem": rl.weights_pool_tem.detach().numpy(),
+        "bias_pool_tem": rl.bias_pool_tem.detach().numpy()}
+    params["teb4mask"] = _tf(ref.encoder.teb4mask)
+    params["neb4mask"] = ref.encoder.neb4mask.detach().numpy()
+    return params
+
+
 def as_numpy_tree(params):
     import jax
 

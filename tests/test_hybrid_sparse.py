@@ -304,7 +304,11 @@ def test_dia_ring_variant_matches(monkeypatch):
     x = jnp.asarray(
         np.random.default_rng(4).normal(size=(2, n, 20)), jnp.float32)
     base = np.asarray(dia_matmul(dia, dia_t, x))
-    monkeypatch.setenv("GPTST_DIA_RING", "1")
+    # selection is process-stable (read once at import, ADVICE r4);
+    # patch the resolved flag, not the env var
+    from gptst_tpu.kernels import spmm as spmm_mod
+
+    monkeypatch.setattr(spmm_mod, "_DIA_USE_RING", True)
     ring = np.asarray(dia_matmul(dia, dia_t, x))
     np.testing.assert_allclose(ring, base, rtol=1e-5, atol=1e-5)
     want = jnp.einsum("nm,bmc->bnc", jnp.asarray(adj), x)
