@@ -94,10 +94,21 @@ class GMSDRCell(nn.Module):
             h2 = graph_matmul(adp, h1) - h0
             mats.append(h2)
             h1, h0 = h2, h1
-        cat = jnp.concatenate(mats, axis=-1)
-        gw = self.param("gconv_w", xavier_normal, (cat.shape[-1], U))
+        # gconv as a sum of per-matrix dots instead of `concat @ W`:
+        # the (B, N, num_mats*Z) concatenation materialized ~134 MB
+        # per cell step at 16k/B=4 (write + read), measurable in the
+        # ablation profile (`scripts/msdr_profile.py`); summing
+        # z_i @ W[i*Z:(i+1)*Z] reads each diffusion output exactly once
+        # and keeps the parameter layout identical (`gconv_w` stays one
+        # (num_mats*Z, U) array — checkpoints and transplants unchanged,
+        # same math, same `gmsdr_cell.py:109-130` semantics).
+        zdim = z.shape[-1]
+        gw = self.param("gconv_w", xavier_normal, (len(mats) * zdim, U))
         gb = self.param("gconv_b", nn.initializers.constant(1.0), (U,))
-        conv = nn.leaky_relu(cat @ gw + gb)
+        pre = gb
+        for i, m in enumerate(mats):
+            pre = pre + m @ gw[i * zdim:(i + 1) * zdim]
+        conv = nn.leaky_relu(pre)
 
         w = self.param("W", nn.initializers.zeros, (U, U))
         b = self.param("b", nn.initializers.zeros, (c.num_nodes, U))
@@ -106,10 +117,19 @@ class GMSDRCell(nn.Module):
                            (c.num_nodes * U, 1))
         att_b = self.param("att_b", nn.initializers.zeros, (1,))
 
-        new_states = hx_k + r[None]                      # (B, K, N, U)
-        flat = new_states.reshape(B, K, N * U)
-        weight = jax.nn.softmax(flat @ att_w + att_b, axis=1)
-        att = (flat * weight).sum(axis=1).reshape(B, N, U)
+        # pre_k attention without materializing (hx_k + R) twice
+        # (`gmsdr_cell.py:131-140`): logits split into the hx_k term and
+        # the constant R term; the weighted sum distributes the same
+        # way. hx_k is read twice (logits, weighted sum — a true data
+        # dependency), but the (B, K, N, U) intermediate round-trip is
+        # gone.
+        aw = att_w.reshape(N, U)
+        r_dot = jnp.einsum("knu,nu->k", r, aw)           # (K,)
+        logits = (jnp.einsum("bknu,nu->bk", hx_k, aw)
+                  + r_dot[None] + att_b)
+        weight = jax.nn.softmax(logits, axis=1)          # (B, K)
+        att = (jnp.einsum("bk,bknu->bnu", weight, hx_k)
+               + jnp.einsum("bk,knu->bnu", weight, r))
 
         output = conv @ w + b[None] + att
         hx_k = jnp.concatenate([hx_k[:, 1:], output[:, None]], axis=1)

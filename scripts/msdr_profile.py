@@ -132,11 +132,14 @@ def main() -> None:
         for s_ in supports:
             mats.append(graph_matmul(s_, z))
         mats.append(graph_matmul(adp, z))
-        cat = jnp.concatenate(mats, axis=-1)
+        zdim = z.shape[-1]
         gw = self.param("gconv_w", msdr_mod.xavier_normal,
-                        (cat.shape[-1], U))
+                        (len(mats) * zdim, U))
         gb = self.param("gconv_b", nn.initializers.constant(1.0), (U,))
-        conv = nn.leaky_relu(cat @ gw + gb)
+        pre = gb
+        for i, m in enumerate(mats):
+            pre = pre + m @ gw[i * zdim:(i + 1) * zdim]
+        conv = nn.leaky_relu(pre)
         w = self.param("W", nn.initializers.zeros, (U, U))
         b = self.param("b", nn.initializers.zeros, (c.num_nodes, U))
         self.param("R", nn.initializers.zeros, (c.pre_k, c.num_nodes, U))
@@ -161,11 +164,15 @@ def main() -> None:
         pre_h = jnp.moveaxis(pre_h, 1, 2).reshape(B, N, c.pre_v * U)
         z = jnp.concatenate([x, pre_h], axis=-1)
         nm = 2 + 2 * (c.max_diffusion_step - 1) + c.max_diffusion_step
-        cat = jnp.concatenate([z] * (nm + 1), axis=-1)
+        mats = [z] * (nm + 1)
+        zdim = z.shape[-1]
         gw = self.param("gconv_w", msdr_mod.xavier_normal,
-                        (cat.shape[-1], U))
+                        (len(mats) * zdim, U))
         gb = self.param("gconv_b", nn.initializers.constant(1.0), (U,))
-        conv = nn.leaky_relu(cat @ gw + gb)
+        pre = gb
+        for i, m in enumerate(mats):
+            pre = pre + m @ gw[i * zdim:(i + 1) * zdim]
+        conv = nn.leaky_relu(pre)
         w = self.param("W", nn.initializers.zeros, (U, U))
         b = self.param("b", nn.initializers.zeros, (c.num_nodes, U))
         r_ = self.param("R", nn.initializers.zeros,
@@ -173,10 +180,13 @@ def main() -> None:
         att_w = self.param("att_w", nn.initializers.zeros,
                            (c.num_nodes * U, 1))
         att_b = self.param("att_b", nn.initializers.zeros, (1,))
-        new_states = hx_k + r_[None]
-        flat = new_states.reshape(B, K, N * U)
-        weight = jax.nn.softmax(flat @ att_w + att_b, axis=1)
-        att = (flat * weight).sum(axis=1).reshape(B, N, U)
+        aw = att_w.reshape(N, U)
+        r_dot = jnp.einsum("knu,nu->k", r_, aw)
+        logits = (jnp.einsum("bknu,nu->bk", hx_k, aw)
+                  + r_dot[None] + att_b)
+        weight = jax.nn.softmax(logits, axis=1)
+        att = (jnp.einsum("bk,bknu->bnu", weight, hx_k)
+               + jnp.einsum("bk,knu->bnu", weight, r_))
         output = conv @ w + b[None] + att
         hx_k = jnp.concatenate([hx_k[:, 1:], output[:, None]], axis=1)
         return hx_k, output
