@@ -83,6 +83,14 @@ class FrameworkConfig:
 
     # precision policy: compute dtype for model internals ("float32"|"bfloat16")
     compute_dtype: str = "float32"
+    # MXU matmul precision for the training run: "auto" resolves to
+    # "highest" when compute_dtype is float32 (true-f32 contractions —
+    # the torch reference trains full f32; the TPU default would run
+    # f32 operands through single-pass bf16 multiplies, which measurably
+    # degrades GPT-ST pretrain convergence vs the reference) and to
+    # "default" under the bf16 throughput mode. Any explicit jax
+    # precision name ("default"|"high"|"highest") overrides.
+    matmul_precision: str = "auto"
     # optimizer steps fused into one dispatch via lax.scan (1 = off);
     # amortizes host->device dispatch latency (~10x at reference scale).
     # 0 = auto (the default): the trainer uses 16 — the benched fast

@@ -173,9 +173,17 @@ def main(argv: Optional[list[str]] = None) -> int:
         count_parameters, init_determinism, profile_trace,
     )
 
+    # reference-parity precision: torch trains true f32; the TPU's
+    # default would push f32 operands through one-pass bf16 MXU
+    # multiplies (see FrameworkConfig.matmul_precision)
+    prec = cfg.matmul_precision
+    if prec == "auto":
+        prec = "highest" if cfg.compute_dtype == "float32" else "default"
+    jax.config.update("jax_default_matmul_precision", prec)
+
     logger = get_logger("run", debug=cfg.debug)
-    logger.info("dataset=%s mode=%s model=%s devices=%s",
-                cfg.dataset, cfg.mode, cfg.model, jax.devices())
+    logger.info("dataset=%s mode=%s model=%s devices=%s precision=%s",
+                cfg.dataset, cfg.mode, cfg.model, jax.devices(), prec)
 
     init_determinism(cfg.seed, cfg.seed_mode)
     ds = build_dataset(cfg, data_root=cfg.data_root, num_steps=ns.num_steps,

@@ -59,3 +59,21 @@ def test_cli_override_end_to_end(tmp_path):
     ]
     assert run.main(argv) == 0
     assert (tmp_path / "PEMS08" / "best_model").exists()
+
+
+def test_matmul_precision_resolution():
+    """f32 runs must resolve to true-f32 contractions ("highest") —
+    the torch reference trains full f32; the TPU default would run
+    one-pass bf16 multiplies and measurably degrade GPT-ST pretrain
+    convergence (round-5 lift bisection). bf16 throughput mode keeps
+    the fast default."""
+    from gptst_tpu.run import make_config, parse_args
+
+    ns = parse_args(["-dataset", "PEMS08", "-mode", "pretrain"])
+    cfg = make_config(ns)
+    assert cfg.matmul_precision == "auto"
+    assert cfg.compute_dtype == "float32"
+
+    ns2 = parse_args(["-dataset", "PEMS08", "-mode", "pretrain",
+                      "-matmul_precision", "default"])
+    assert make_config(ns2).matmul_precision == "default"
