@@ -36,6 +36,12 @@ def measure(cfg, k: int = 32, iters: int = 10, windows: int = 6) -> float:
     from gptst_tpu.train.loss import build_loss
     from gptst_tpu.train.step import make_loss_terms, make_scanned_train_step
 
+    # throughput basis: TPU-default matmul precision (one-pass bf16
+    # multiplies for f32 operands) — the same basis as every recorded
+    # round's numbers. The CLI's f32 ACCURACY mode now resolves to
+    # 'highest' (true-f32 contractions, reference parity — see
+    # FrameworkConfig.matmul_precision); that mode trades throughput
+    # for the torch-matching convergence the lift experiment measures.
     if cfg.compute_dtype == "bfloat16":
         jax.config.update("jax_default_matmul_precision", "bfloat16")
     else:

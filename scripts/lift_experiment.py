@@ -101,7 +101,8 @@ def build_sandbox(root: str, n: int, steps: int, data_seed: int,
 # --------------------------------------------------------------------------
 
 def run_jax_side(root: str, n: int, pre_epochs: int, epochs: int,
-                 model: str = "STGCN", save_name: str = "jax_save") -> dict:
+                 model: str = "STGCN", save_name: str = "jax_save",
+                 skip_pretrain: bool = False) -> dict:
     from gptst_tpu import run as gt_run
 
     log_dir = os.path.join(root, save_name)
@@ -115,11 +116,16 @@ def run_jax_side(root: str, n: int, pre_epochs: int, epochs: int,
 
     out = {}
     pre_mpath = os.path.join(log_dir, "metrics_pretrain.json")
-    rc = gt_run.main(flags("pretrain", ["-epochs", str(pre_epochs),
-                                        "-metrics_out", pre_mpath]))
-    assert rc == 0, "jax pretrain failed"
-    with open(pre_mpath) as f:
-        pretrain_best = json.load(f).get("best_loss")
+    pretrain_best = None
+    if not skip_pretrain:
+        rc = gt_run.main(flags("pretrain", ["-epochs", str(pre_epochs),
+                                            "-metrics_out", pre_mpath]))
+        assert rc == 0, "jax pretrain failed"
+        with open(pre_mpath) as f:
+            pretrain_best = json.load(f).get("best_loss")
+    elif os.path.exists(pre_mpath):
+        with open(pre_mpath) as f:
+            pretrain_best = json.load(f).get("best_loss")
     for mode in ("ori", "eval"):
         mpath = os.path.join(log_dir, f"metrics_{mode}.json")
         rc = gt_run.main(flags(mode, ["-epochs", str(epochs),
@@ -406,10 +412,17 @@ def _ref_one_mode(root: str, mode: str, pre_epochs: int, epochs: int,
 
 
 def run_ref_side(root: str, pre_epochs: int, epochs: int,
-                 model: str = "STGCN") -> dict:
+                 model: str = "STGCN",
+                 skip_pretrain: bool = False) -> dict:
+    """skip_pretrain reuses an existing <root>/ref_save/pretrain.pth —
+    sound across predictor families because the reference's pretrain
+    phase is predictor-independent (`Run.py:35-43` merges predictor
+    args only when mode != 'pretrain')."""
     with _ref_env(root):
-        pretrain_best = _ref_one_mode(root, "pretrain", pre_epochs, epochs,
-                                      model_name=model)
+        pretrain_best = None
+        if not skip_pretrain:
+            pretrain_best = _ref_one_mode(root, "pretrain", pre_epochs,
+                                          epochs, model_name=model)
         ori_mae, ori_rmse = _ref_one_mode(root, "ori", pre_epochs, epochs,
                                           model_name=model)
         eval_mae, eval_rmse = _ref_one_mode(root, "eval", pre_epochs,
@@ -437,6 +450,11 @@ def main() -> None:
                    help="sandbox dir (default: a fresh tempdir)")
     p.add_argument("--skip-ref", action="store_true")
     p.add_argument("--skip-jax", action="store_true")
+    p.add_argument("--skip-ref-pretrain", action="store_true",
+                   help="reuse <workdir>/ref_save/pretrain.pth (the "
+                        "pretrain phase is predictor-independent)")
+    p.add_argument("--skip-jax-pretrain", action="store_true",
+                   help="reuse <workdir>/jax_save's pretrain checkpoint")
     p.add_argument("--transplant", action="store_true",
                    help="extra bisection arm: our eval run with the "
                         "torch-pretrained encoder (needs the ref side's "
@@ -454,12 +472,14 @@ def main() -> None:
               "data_seed": args.data_seed, "model": args.model,
               "workdir": root}
     if not args.skip_jax:
-        result["jax"] = run_jax_side(root, args.n, args.pre_epochs,
-                                     args.epochs, model=args.model)
+        result["jax"] = run_jax_side(
+            root, args.n, args.pre_epochs, args.epochs, model=args.model,
+            skip_pretrain=args.skip_jax_pretrain)
         print(json.dumps({"jax": result["jax"]}))
     if not args.skip_ref:
         result["ref"] = run_ref_side(root, args.pre_epochs, args.epochs,
-                                     model=args.model)
+                                     model=args.model,
+                                     skip_pretrain=args.skip_ref_pretrain)
         print(json.dumps({"ref": result["ref"]}))
     if args.transplant:
         result["jax_transplant"] = run_jax_transplant_eval(

@@ -181,3 +181,26 @@ def test_remat_reaches_cli_surface():
     pcfg = make_predictor_config(TGCNConfig, cfg, num_nodes=cfg.num_nodes)
     assert pcfg.remat == "full"
     assert dataclasses.asdict(pcfg)["num_nodes"] == 170
+
+
+def test_stmgcn_remat_forward_and_tree_invariance():
+    """nn.remat must compose with nn.RNN's cell protocol (STMGCN's
+    LSTMs): same outputs, same param-tree paths (checkpoint compat)."""
+    from gptst_tpu.models.predictors.stmgcn import STMGCN, STMGCNConfig
+
+    n = 8
+    rng = np.random.default_rng(0)
+    sups = jnp.asarray(rng.random((2, 2, n, n)).astype(np.float32) / n)
+    x = jnp.asarray(rng.normal(size=(2, 12, n, 2)).astype(np.float32))
+    outs = {}
+    for rm in ("none", "full"):
+        m = STMGCN(cfg=STMGCNConfig(num_nodes=n, remat=rm,
+                                    lstm_num_layers=2),
+                   dim_in=2, dim_out=2)
+        p = m.init(jax.random.PRNGKey(1), x, sups)
+        jax.grad(lambda q: jnp.abs(m.apply(q, x, sups)).mean())(p)
+        outs[rm] = (np.asarray(m.apply(p, x, sups)), p)
+    np.testing.assert_allclose(outs["none"][0], outs["full"][0],
+                               rtol=1e-5, atol=1e-6)
+    assert (jax.tree_util.tree_structure(outs["none"][1])
+            == jax.tree_util.tree_structure(outs["full"][1]))
