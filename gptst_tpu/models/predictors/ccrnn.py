@@ -40,8 +40,9 @@ class CCRNNConfig:
     n_gconv_layers: int = 1
     cl_decay_steps: int = 300
     # activation remat for the scanned encoder/decoder steps:
-    # none|full|dots (`ops/recurrent.remat_cell`)
-    remat: str = "none"
+    # auto|none|full|dots (`ops/recurrent.remat_cell`; "auto" resolves
+    # by node count, `ops/recurrent.resolve_remat`)
+    remat: str = "auto"
 
 
 def svd_graph_embeddings(support: np.ndarray, n_dim: int):
@@ -172,10 +173,11 @@ class CCRNN(nn.Module):
         graphs.append(nn.leaky_relu(v1 @ v2))
         graphs = jnp.stack(graphs)                # (3, N, N)
 
-        from gptst_tpu.ops.recurrent import remat_cell
+        from gptst_tpu.ops.recurrent import remat_cell, resolve_remat
 
+        rm = resolve_remat(c.remat, N)
         h0 = jnp.zeros((c.n_rnn_layers, B, N, c.hidden_size), x.dtype)
-        enc = nn.scan(remat_cell(_EncoderStep, c.remat),
+        enc = nn.scan(remat_cell(_EncoderStep, rm),
                       variable_broadcast="params",
                       split_rngs={"params": False},
                       in_axes=(1, nn.broadcast), out_axes=1)(c)
@@ -192,7 +194,7 @@ class CCRNN(nn.Module):
             use_tf = jnp.zeros((self.horizon,), bool)
             tgt = jnp.zeros((self.horizon, B, N, self.dim_out), x.dtype)
 
-        dec = nn.scan(remat_cell(_DecoderStep, c.remat),
+        dec = nn.scan(remat_cell(_DecoderStep, rm),
                       variable_broadcast="params",
                       split_rngs={"params": False},
                       in_axes=(0, nn.broadcast), out_axes=0)(c, self.dim_out)

@@ -43,10 +43,11 @@ class MSDRConfig:
     pre_k: int = 4
     pre_v: int = 1
     adapt_rank: int = 10
-    # activation remat for the scanned seq2seq step: none|full|dots
+    # activation remat for the scanned seq2seq step: auto|none|full|dots
     # (`ops/recurrent.remat_cell`); the K=4 multi-step carry x 2 layers
     # x 24 scanned steps is the worst residual blowup in the model zoo.
-    remat: str = "none"
+    # "auto" resolves by node count (`ops/recurrent.resolve_remat`).
+    remat: str = "auto"
 
 
 def dual_random_walk_supports(adj: np.ndarray) -> list[np.ndarray]:
@@ -196,9 +197,9 @@ class MSDR(nn.Module):
         dec_adps = tuple(build_adp("dec", i)
                          for i in range(c.num_rnn_layers))
 
-        from gptst_tpu.ops.recurrent import remat_cell
+        from gptst_tpu.ops.recurrent import remat_cell, resolve_remat
 
-        step_cls = remat_cell(_SeqStep, c.remat)
+        step_cls = remat_cell(_SeqStep, resolve_remat(c.remat, N))
         x = nn.Dense(c.rnn_units, name="enc_mlp")(x)     # (B,T,N,U)
         h0 = jnp.zeros((c.num_rnn_layers, B, c.pre_k, N, c.rnn_units),
                        x.dtype)

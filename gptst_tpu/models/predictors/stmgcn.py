@@ -31,9 +31,9 @@ class STMGCNConfig:
     lstm_num_layers: int = 3
     gcn_hidden_dim: int = 64
     cheb_k: int = 2
-    # activation remat for the LSTM cells: none|full|dots
-    # (`ops/recurrent.remat_cell`)
-    remat: str = "none"
+    # activation remat for the LSTM cells: auto|none|full|dots
+    # (`ops/recurrent.remat_cell`; "auto" resolves by node count)
+    remat: str = "auto"
 
 
 class MultiSupportGCN(nn.Module):
@@ -73,11 +73,12 @@ class ContextGatedLSTM(nn.Module):
         s = jax.nn.sigmoid(fc(jax.nn.relu(fc(z))))   # eq. 8
         rew = jnp.einsum("btnf,bt->btnf", obs, s)    # eq. 9
 
-        from gptst_tpu.ops.recurrent import remat_cell
+        from gptst_tpu.ops.recurrent import remat_cell, resolve_remat
 
         seq = jnp.swapaxes(rew, 1, 2).reshape(B * N, T, D)
         h = seq
-        cell_cls = remat_cell(nn.OptimizedLSTMCell, c.remat)
+        cell_cls = remat_cell(nn.OptimizedLSTMCell,
+                              resolve_remat(c.remat, N))
         for i in range(c.lstm_num_layers):
             h = nn.RNN(cell_cls(c.lstm_hidden_dim),
                        name=f"lstm{i}")(h)

@@ -24,11 +24,12 @@ class TGCNConfig:
     num_nodes: int
     rnn_units: int = 100
     lam: float = 0.0015  # L2 weight used by the reference's lreg variant
-    # activation remat for the scanned GRU cell: none|full|dots
+    # activation remat for the scanned GRU cell: auto|none|full|dots
     # (`ops/recurrent.remat_cell`) — trades ~1 recomputed forward for
     # O(T) backward residual memory; required to hold batch 8 at 64k
-    # nodes. CLI: `--remat full`.
-    remat: str = "none"
+    # nodes and measured FASTER at >=16k (`ops/recurrent.resolve_remat`).
+    # "auto" (default) resolves by node count. CLI: `--remat full`.
+    remat: str = "auto"
 
 
 class TGCN(nn.Module):
@@ -42,8 +43,18 @@ class TGCN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, support: jnp.ndarray) -> jnp.ndarray:
         B, _, N, _ = x.shape
-        scanned = scan_over_time(GraphGRUCell, num_units=self.cfg.rnn_units,
-                                 remat=self.cfg.remat)
+        from gptst_tpu.ops.graph_conv import ShardedSupport
+        from gptst_tpu.ops.recurrent import resolve_remat
+
+        rm = resolve_remat(self.cfg.remat, N)
+        if isinstance(support, ShardedSupport):
+            # the halo/ring support carries a shard_map closure that
+            # jax.checkpoint cannot abstract as a call operand; the
+            # sharded path also divides the residual stack across
+            # devices, so remat is forced off there
+            rm = "none"
+        scanned = scan_over_time(
+            GraphGRUCell, num_units=self.cfg.rnn_units, remat=rm)
         h0 = jnp.zeros((B, N, self.cfg.rnn_units), x.dtype)
         h, _ = scanned(h0, x, support)
         out = nn.Dense(self.horizon * self.dim_out)(h)  # (B, N, T_out*D)

@@ -149,7 +149,8 @@ def main() -> None:
         hx_k = jnp.concatenate([hx_k[:, 1:], output[:, None]], axis=1)
         return hx_k, output
 
-    msdr_mod.GMSDRCell.__call__ = call_noatt
+    import flax.linen as fnn
+    msdr_mod.GMSDRCell.__call__ = fnn.compact(call_noatt)
     try:
         run("fwd_noatt", fwd_c, xb, (params, sup))
     finally:
@@ -191,7 +192,7 @@ def main() -> None:
         hx_k = jnp.concatenate([hx_k[:, 1:], output[:, None]], axis=1)
         return hx_k, output
 
-    msdr_mod.GMSDRCell.__call__ = call_nogconv
+    msdr_mod.GMSDRCell.__call__ = fnn.compact(call_nogconv)
     try:
         run("fwd_nogconv", fwd_c, xb, (params, sup))
     finally:

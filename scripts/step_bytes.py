@@ -107,16 +107,53 @@ def tgcn_step_bytes(n: int, batch: int, t: int = 12, u: int = 64,
     }
 
 
+def msdr_step_bytes(n: int, batch: int, t: int = 12, u: int = 64,
+                    layers: int = 2, pre_k: int = 4, pre_v: int = 1,
+                    itemsize: int = 4, remat: str = "none") -> dict:
+    """MSDR seq2seq train step (`models/predictors/msdr.py`, reference
+    `gmsdr_cell.py:109-140`): 2*t scanned steps (encoder + decoder)
+    x `layers` cells. Per cell step, in B*N-plane units (Z = u*(1+pre_v)
+    concat width, 3 support applications incl. the sparse-adaptive one,
+    gconv as sum-of-dots over 4 diffusion outputs, pre_k attention
+    reading the (K, N, U) carry twice):"""
+    z = u * (1 + pre_v)
+    unit = batch * n * itemsize
+    fwd_planes = (
+        (u + pre_v * u + z)          # pre_h gather + concat z
+        + 3 * (z + z)                # 3 support applications in/out
+        + (4 * z + u)                # gconv sum-of-dots + leaky_relu
+        + (2 * pre_k * u + u)        # attention: carry read twice + att
+        + (u + u)                    # output = conv@W + b + att
+        + (pre_k * u + pre_k * u)    # hx_k shift-append (read + write)
+    )
+    bwd_planes = 2 * fwd_planes
+    if remat == "full":
+        bwd_planes = 2 * fwd_planes - fwd_planes // 2
+    steps = 2 * t * layers
+    act = steps * (fwd_planes + bwd_planes) * unit
+    spmm = steps * 3 * 2 * spmm_bytes_per_apply(n, batch * z, itemsize)
+    total = act + spmm
+    return {
+        "model": "MSDR", "n": n, "batch": batch,
+        "dtype_bytes": itemsize, "remat": remat,
+        "activation_GB": round(act / 1e9, 3),
+        "aggregation_GB": round(spmm / 1e9, 3),
+        "total_GB": round(total / 1e9, 3),
+        "floor_ms_at_819GBs": round(total / HBM_NOMINAL_GBS / 1e6, 2),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
+    p.add_argument("--model", default="TGCN", choices=["TGCN", "MSDR"])
     p.add_argument("--n", type=int, default=16384)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--itemsize", type=int, default=4)
     p.add_argument("--remat", default="none")
     p.add_argument("--measured-ms", type=float, default=None)
     args = p.parse_args()
-    m = tgcn_step_bytes(args.n, args.batch, itemsize=args.itemsize,
-                        remat=args.remat)
+    fn = tgcn_step_bytes if args.model == "TGCN" else msdr_step_bytes
+    m = fn(args.n, args.batch, itemsize=args.itemsize, remat=args.remat)
     if args.measured_ms:
         m["measured_ms"] = args.measured_ms
         m["achieved_fraction_819"] = round(
