@@ -199,7 +199,14 @@ class MSDR(nn.Module):
 
         from gptst_tpu.ops.recurrent import remat_cell, resolve_remat
 
-        step_cls = remat_cell(_SeqStep, resolve_remat(c.remat, N))
+        # MSDR's cell recompute is SpMM-heavy (3 support applications
+        # per layer-step), so remat costs more than the residual
+        # round-trips at 16k (measured 609 vs 415 ms/step, f32 B=4);
+        # "auto" engages it only where the K=4 carry x 24-step stack
+        # cannot fit HBM at all (>=32k nodes — the r4 bench had NO 64k
+        # MSDR row for exactly that reason).
+        step_cls = remat_cell(_SeqStep,
+                              resolve_remat(c.remat, N, threshold=32768))
         x = nn.Dense(c.rnn_units, name="enc_mlp")(x)     # (B,T,N,U)
         h0 = jnp.zeros((c.num_rnn_layers, B, c.pre_k, N, c.rnn_units),
                        x.dtype)
