@@ -145,8 +145,12 @@ class _SeqStep(nn.Module):
 
     @nn.compact
     def __call__(self, carry, x_t, supports, adps):
-        # carry: (L, B, K, N, U); x_t: (B, N, Din); adps: per-layer
-        # adaptive adjacencies (broadcast through the scan)
+        # carry: L-tuple of (B, K, N, U); x_t: (B, N, Din); adps:
+        # per-layer adaptive adjacencies (broadcast through the scan).
+        # The carry is a TUPLE, not a stacked (L, ...) array: the
+        # profiler showed `jnp.stack` round-tripping the full 134 MB
+        # carry through HBM on every scanned step (~13 GB per forward
+        # at 16k/B=4) purely to re-split it next step.
         c = self.cfg
         out = x_t
         new_carry = []
@@ -155,7 +159,7 @@ class _SeqStep(nn.Module):
             hx, out = GMSDRCell(c, din, name=f"cell{layer}")(
                 carry[layer], out, supports, adps[layer])
             new_carry.append(hx)
-        return jnp.stack(new_carry), out
+        return tuple(new_carry), out
 
 
 class MSDR(nn.Module):
@@ -208,8 +212,8 @@ class MSDR(nn.Module):
         step_cls = remat_cell(_SeqStep,
                               resolve_remat(c.remat, N, threshold=32768))
         x = nn.Dense(c.rnn_units, name="enc_mlp")(x)     # (B,T,N,U)
-        h0 = jnp.zeros((c.num_rnn_layers, B, c.pre_k, N, c.rnn_units),
-                       x.dtype)
+        h0 = tuple(jnp.zeros((B, c.pre_k, N, c.rnn_units), x.dtype)
+                   for _ in range(c.num_rnn_layers))
         enc = nn.scan(
             step_cls, variable_broadcast="params",
             split_rngs={"params": False},

@@ -223,7 +223,7 @@ def main() -> None:
         a, b_ = e
         s = adaptive_support(pattern, a, b_)
         # consume the support so it isn't DCE'd; ride the carry
-        return (a + 1e-9 * s.bcsr.vals.astype(jnp.float32).sum(), b_)
+        return (a + 1e-9 * s.bcsr.block_vals.astype(jnp.float32).sum(), b_)
 
     run("adaptive_support_x1", supports_only, (e1, e2), (pat,), iters=8)
 
