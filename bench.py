@@ -209,7 +209,8 @@ def measure_sparse_model(n: int, batch: int = 8, iters: int = 8,
         return (optax.apply_updates(p, updates), o)
 
     per, info = time_chained(train_step, (params, opt_state),
-                             iters=iters, operands=(xb, yb, sup))
+                             iters=iters, operands=(xb, yb, sup),
+                             donate=True)
     return {
         "n": n,
         "nnz": int(r.size),
@@ -270,7 +271,7 @@ def measure_flagship_scale(n: int, batch: int = 8, iters: int = 6,
         return (p, o)
 
     per, info = time_chained(chained, (params, opt_state), iters=iters,
-                             operands=(x, rng, epoch, sc))
+                             operands=(x, rng, epoch, sc), donate=True)
     gflops = None
     try:
         ca = jax.jit(step_fn).lower(
@@ -291,6 +292,28 @@ def measure_flagship_scale(n: int, batch: int = 8, iters: int = 6,
         out["step_gflops"] = gflops
         out["achieved_tflops"] = round(gflops / per / 1e3, 2)
     return out
+
+
+def _subprocess_case(expr: str, timeout: int = 3000) -> dict:
+    """Run one measurement in a FRESH process. The largest cases
+    (MSDR 64k, GPT-ST pretrain at 16k) are individually within HBM but
+    OOM when run after the 64k TGCN cases in the same process — the
+    backend holds prior executables/buffers; a subprocess guarantees a
+    clean 16 GB. `expr` must evaluate to a JSON-serializable dict using
+    the `bench` module."""
+    import os
+    import subprocess
+
+    code = ("import json, bench\n"
+            f"r = {expr}\n"
+            "print('RESULT::' + json.dumps(r))\n")
+    p = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=timeout, cwd=os.path.dirname(os.path.abspath(__file__)))
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT::"):
+            return json.loads(line[len("RESULT::"):])
+    raise RuntimeError((p.stderr or p.stdout)[-300:])
 
 
 def main() -> None:
@@ -405,12 +428,24 @@ def main() -> None:
              ("msdr_65536", 65536, (4, 2, 1), "float32", "MSDR", "full")]
     for key, nn_, ladder, dt, mdl, rm in cases:
         last_err = None
+        iso = nn_ >= 65536 and mdl == "MSDR"   # see _subprocess_case
+        if iso:   # clean parent HBM before spawning (see below)
+            import gc
+
+            gc.collect()
+            jax.clear_caches()
         for b in ladder:
             try:
-                sparse[key] = dict(
-                    measure_sparse_model(nn_, batch=b, dtype=dt,
-                                         model_name=mdl, remat=rm),
-                    batch=b, dtype=dt, model=mdl, remat=rm)
+                if iso:
+                    r = _subprocess_case(
+                        f"bench.measure_sparse_model({nn_}, batch={b}, "
+                        f"dtype={dt!r}, model_name={mdl!r}, "
+                        f"remat={rm!r})")
+                else:
+                    r = measure_sparse_model(nn_, batch=b, dtype=dt,
+                                             model_name=mdl, remat=rm)
+                sparse[key] = dict(r, batch=b, dtype=dt, model=mdl,
+                                   remat=rm)
                 break
             except Exception as e:
                 last_err = f"{type(e).__name__}: {e}"[:200]
@@ -418,15 +453,25 @@ def main() -> None:
             sparse[key] = {"error": last_err}
     out["sparse_tgcn_train_step"] = sparse
 
+    # free parent-held device state (compiled executables pin constant
+    # buffers) so the isolated subprocesses see a clean HBM
+    import gc
+
+    gc.collect()
+    jax.clear_caches()
+
     # flagship at scale: GPT-ST pretrain step at N=16,384, f32 + bf16
+    # (fresh subprocess per case — individually fine, OOMs after the
+    # 64k TGCN cases in-process)
     flagship = {}
     for key, dt, ladder in (("16384", "float32", (8, 4, 2)),
                             ("16384_bf16", "bfloat16", (8, 4, 2))):
         last_err = None
         for b in ladder:
             try:
-                flagship[key] = measure_flagship_scale(16384, batch=b,
-                                                       dtype=dt)
+                flagship[key] = _subprocess_case(
+                    f"bench.measure_flagship_scale(16384, batch={b}, "
+                    f"dtype={dt!r})")
                 break
             except Exception as e:
                 last_err = f"{type(e).__name__}: {e}"[:200]

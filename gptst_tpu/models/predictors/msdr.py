@@ -162,6 +162,32 @@ class _SeqStep(nn.Module):
         return tuple(new_carry), out
 
 
+def _pick_chunk(t: int) -> int:
+    """Largest divisor of t no bigger than ceil(t/2) — 2+ segments so
+    boundary-carry storage drops by the segment count."""
+    for chunk in range(-(-t // 2), 0, -1):
+        if t % chunk == 0:
+            return chunk
+    return t
+
+
+class _Segment(nn.Module):
+    """A `chunk`-step run of the layer stack (the remat'd body of the
+    outer segment scan — see MSDR.__call__)."""
+
+    cfg: MSDRConfig
+    dim_in: int
+
+    @nn.compact
+    def __call__(self, carry, x_chunk, supports, adps):
+        inner = nn.scan(
+            _SeqStep, variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(1, nn.broadcast, nn.broadcast), out_axes=1,
+        )(self.cfg, self.dim_in, name="seg")
+        return inner(carry, x_chunk, supports, adps)
+
+
 class MSDR(nn.Module):
     """x: (B, T, N, dim_in) -> (B, T_out, N, dim_out)."""
 
@@ -208,23 +234,47 @@ class MSDR(nn.Module):
         # round-trips at 16k (measured 609 vs 415 ms/step, f32 B=4);
         # "auto" engages it only where the K=4 carry x 24-step stack
         # cannot fit HBM at all (>=32k nodes — the r4 bench had NO 64k
-        # MSDR row for exactly that reason).
-        step_cls = remat_cell(_SeqStep,
-                              resolve_remat(c.remat, N, threshold=32768))
+        # MSDR row for exactly that reason). At that scale per-CELL
+        # remat is not enough either: the scan linearization stores the
+        # full K-deep carry tuple EVERY step (268 MB/step at 64k B=1 —
+        # ~6 GB per scan), so the scan itself runs CHUNKED two-level
+        # checkpointing — an outer scan over T/chunk segments whose
+        # remat'd body re-runs an inner scan of `chunk` steps; only
+        # segment-boundary carries persist, in-segment carries are
+        # recomputed during backward. Exact same step order/math. The
+        # chunked tree nests the cells one level deeper
+        # ("encoder/seg/cell{i}"); it only exists at >=32k nodes where
+        # no checkpoint/transplant layout depends on it — small-N trees
+        # (all parity suites, all shipped datasets) are untouched.
+        rm = resolve_remat(c.remat, N, threshold=32768)
         x = nn.Dense(c.rnn_units, name="enc_mlp")(x)     # (B,T,N,U)
         h0 = tuple(jnp.zeros((B, c.pre_k, N, c.rnn_units), x.dtype)
                    for _ in range(c.num_rnn_layers))
-        enc = nn.scan(
-            step_cls, variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=(1, nn.broadcast, nn.broadcast), out_axes=1,
-        )(c, c.rnn_units, name="encoder")
-        hx_k, enc_out = enc(h0, x, supports, enc_adps)
 
-        dec = nn.scan(
-            step_cls, variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=(1, nn.broadcast, nn.broadcast), out_axes=1,
-        )(c, c.rnn_units, name="decoder")
-        _, dec_out = dec(hx_k, enc_out, supports, dec_adps)
+        def make_scan(name):
+            if rm == "none":
+                return nn.scan(
+                    _SeqStep, variable_broadcast="params",
+                    split_rngs={"params": False},
+                    in_axes=(1, nn.broadcast, nn.broadcast), out_axes=1,
+                )(c, c.rnn_units, name=name)
+            seg = remat_cell(_Segment, rm)
+            return nn.scan(
+                seg, variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=(1, nn.broadcast, nn.broadcast), out_axes=1,
+            )(c, c.rnn_units, name=name)
+
+        def run_scan(scanned, carry, xs, adps):
+            if rm != "none":
+                chunk = _pick_chunk(xs.shape[1])
+                t = xs.shape[1]
+                xs = xs.reshape(B, t // chunk, chunk, N, -1)
+                carry, ys = scanned(carry, xs, supports, adps)
+                return carry, ys.reshape(B, t, N, -1)
+            return scanned(carry, xs, supports, adps)
+
+        hx_k, enc_out = run_scan(make_scan("encoder"), h0, x, enc_adps)
+        _, dec_out = run_scan(make_scan("decoder"), hx_k, enc_out,
+                              dec_adps)
         return nn.Dense(self.dim_out, name="projection")(dec_out)

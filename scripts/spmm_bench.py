@@ -51,7 +51,7 @@ def road_graph_edges(n: int, degree: int, band: int = 48,
 
 
 def time_chained(step_fn, x0, iters=32, reps=5, operands=(),
-                 min_signal_s=0.050, max_iters=4096):
+                 min_signal_s=0.050, max_iters=4096, donate=False):
     """Time x -> step_fn(x, *operands) chained `iters` times inside ONE
     jit, anchored by a host fetch of a scalar that depends on the whole
     chain. Returns (seconds_per_application, info_dict); info["valid"]
@@ -117,18 +117,27 @@ def time_chained(step_fn, x0, iters=32, reps=5, operands=(),
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, x)
             return jax.lax.fori_loop(
                 0, it, lambda i, v: step_fn(v, *ops), x)
-        return jax.jit(run)
+        # donate=True aliases the carry in/out (and lets the perturb
+        # multiply run in place): the biggest train-step carries
+        # (params+opt at 64k nodes) otherwise hold 2-3 extra copies
+        # live across the chain, which is the difference between
+        # fitting HBM and ResourceExhausted for MSDR at 64k. The
+        # donated chain consumes x0 on its first dispatch, so the
+        # carry threads across auto-scaling attempts via `y_state`.
+        return jax.jit(run, donate_argnums=(0,) if donate else ())
+
+    y_state = [x0]
+    seq = [0]
 
     def sample(fn, n_pairs):
         """n_pairs of (t1, t3) group timings + the fetched anchors."""
-        seq = [0]
 
         def call(y):
             seq[0] += 1
             return fn(y, jnp.asarray(float(seq[0] % 7), jnp.float32),
                       *operands)
 
-        y = call(x0)
+        y = call(y_state[0])
         s = float(sum_fn(y))
         assert s == s, "chain produced NaN"
 
@@ -147,6 +156,7 @@ def time_chained(step_fn, x0, iters=32, reps=5, operands=(),
             t1s.append(t1)
             diffs.append(t3 - t1)
             anchors += [a1, a3]
+        y_state[0] = y
         return t1s, diffs, anchors
 
     it = iters

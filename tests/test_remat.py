@@ -80,24 +80,41 @@ def test_msdr_remat_trajectory_invariance():
     x = jnp.asarray(rng.normal(size=(3, 12, n, 1)).astype(np.float32))
     y = jnp.asarray(rng.normal(size=(3, 12, n, 1)).astype(np.float32))
 
-    grads, results = {}, {}
-    for rm in ("none", "full"):
-        cfg = MSDRConfig(num_nodes=n, rnn_units=12, num_rnn_layers=2,
-                         remat=rm)
-        model = MSDR(cfg=cfg, dim_in=1, dim_out=1, horizon=12)
-        params = model.init(jax.random.PRNGKey(2), x, sups)
-        grads[rm] = jax.jit(jax.grad(
-            lambda p: jnp.abs(model.apply(p, x, sups) - y).mean()))(params)
-        results[rm] = _train(model, params, x, y, (sups,))
-    # identical math -> identical gradients at init; over Adam steps
-    # ulp seeds amplify chaotically on MSDR's zero-initialized scalars
-    # (att_b), so the trajectory bound is on losses only.
-    for a, b in zip(jax.tree_util.tree_leaves(grads["none"]),
-                    jax.tree_util.tree_leaves(grads["full"])):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(results["none"][0], results["full"][0],
-                               rtol=1e-3, atol=1e-5)
+    # remat "full" activates the chunked two-level scan, whose param
+    # tree nests the cells one level deeper (encoder/seg/cell{i}) —
+    # transplant the flat init into the chunked layout so both arms run
+    # IDENTICAL weights, then require identical outputs and gradients.
+    flat = MSDR(cfg=MSDRConfig(num_nodes=n, rnn_units=12,
+                               num_rnn_layers=2, remat="none"),
+                dim_in=1, dim_out=1, horizon=12)
+    chunk = MSDR(cfg=MSDRConfig(num_nodes=n, rnn_units=12,
+                                num_rnn_layers=2, remat="full"),
+                 dim_in=1, dim_out=1, horizon=12)
+    pf = flat.init(jax.random.PRNGKey(2), x, sups)
+    pc = jax.tree.map(lambda a: a, pf)          # copy
+    pc = {"params": dict(pc["params"])}
+    for scope in ("encoder", "decoder"):
+        pc["params"][scope] = {"seg": pc["params"][scope]}
+    # structure check: transplanted tree matches chunked init exactly
+    ref_struct = jax.tree_util.tree_structure(
+        chunk.init(jax.random.PRNGKey(9), x, sups))
+    assert jax.tree_util.tree_structure(pc) == ref_struct
+
+    yf = flat.apply(pf, x, sups)
+    yc = chunk.apply(pc, x, sups)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yc),
+                               rtol=1e-5, atol=1e-6)
+
+    gf = jax.jit(jax.grad(
+        lambda p: jnp.abs(flat.apply(p, x, sups) - y).mean()))(pf)
+    gc_ = jax.jit(jax.grad(
+        lambda p: jnp.abs(chunk.apply(p, x, sups) - y).mean()))(pc)
+    for scope in ("encoder", "decoder"):
+        for a, b in zip(
+                jax.tree_util.tree_leaves(gf["params"][scope]),
+                jax.tree_util.tree_leaves(gc_["params"][scope]["seg"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
 
 
 def test_ccrnn_remat_trajectory_invariance():
