@@ -223,7 +223,8 @@ def measure_sparse_model(n: int, batch: int = 8, iters: int = 8,
 
 
 def measure_flagship_scale(n: int, batch: int = 8, iters: int = 6,
-                           dtype: str = "float32") -> dict:
+                           dtype: str = "float32",
+                           remat: str = "none") -> dict:
     """GPT-ST pretrain FULL train step (forward + masked-MAE + KL +
     grads + Adam) at large N (VERDICT r4 weak #5: the flagship had no
     at-scale number — every large-N datum was TGCN/MSDR). The GPT-ST
@@ -244,7 +245,8 @@ def measure_flagship_scale(n: int, batch: int = 8, iters: int = 6,
 
     cfg = default_config("PEMS08", mode="pretrain", model="STGCN")
     cfg = cfg.replace(num_nodes=n, batch_size=batch, change_epoch=1,
-                      log_dir=None, compute_dtype=dtype)
+                      log_dir=None, compute_dtype=dtype,
+                      pretrain_remat=remat)
     if dtype == "bfloat16":
         jax.config.update("jax_default_matmul_precision", "bfloat16")
     else:
@@ -283,7 +285,7 @@ def measure_flagship_scale(n: int, batch: int = 8, iters: int = 6,
     except Exception:
         pass
     out = {
-        "n": n, "batch": batch, "dtype": dtype,
+        "n": n, "batch": batch, "dtype": dtype, "remat": remat,
         "ms_per_step": round(per * 1e3, 3),
         "samples_per_s": round(batch / per, 2),
         "valid": info["valid"],
@@ -464,14 +466,21 @@ def main() -> None:
     # (fresh subprocess per case — individually fine, OOMs after the
     # 64k TGCN cases in-process)
     flagship = {}
-    for key, dt, ladder in (("16384", "float32", (8, 4, 2)),
-                            ("16384_bf16", "bfloat16", (8, 4, 2))):
+    # (batch, remat) ladders. Trunk remat (pretrain_remat) is
+    # equivalence-tested and available, but the TUNNELED compile
+    # helper rejects the 16k flagship above batch 2 f32 with or
+    # without it (consistent HTTP 500 at batch 4/8 in clean
+    # subprocesses) — the binding constraint here is the compile
+    # service, not HBM, so the ladders stay at the proven configs.
+    for key, dt, ladder in (
+            ("16384", "float32", ((2, "none"),)),
+            ("16384_bf16", "bfloat16", ((4, "none"), (2, "none")))):
         last_err = None
-        for b in ladder:
+        for b, rm in ladder:
             try:
                 flagship[key] = _subprocess_case(
                     f"bench.measure_flagship_scale(16384, batch={b}, "
-                    f"dtype={dt!r})")
+                    f"dtype={dt!r}, remat={rm!r})")
                 break
             except Exception as e:
                 last_err = f"{type(e).__name__}: {e}"[:200]

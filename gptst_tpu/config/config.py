@@ -83,6 +83,11 @@ class FrameworkConfig:
 
     # precision policy: compute dtype for model internals ("float32"|"bfloat16")
     compute_dtype: str = "float32"
+    # activation remat for the GPT-ST STHCN trunks in pretrain/eval
+    # builds (none|full|dots — `models/gptst.py:GPTSTConfig.remat`);
+    # "none" default, flip to "full" to trade a recomputed trunk
+    # forward for the stored intermediates that cap large-N batches
+    pretrain_remat: str = "none"
     # MXU matmul precision for the training run: "auto" resolves to
     # "highest" when compute_dtype is float32 (true-f32 contractions —
     # the torch reference trains full f32; the TPU default would run

@@ -63,6 +63,13 @@ class GPTSTConfig:
     change_epoch: int = 10
     epochs: int = 300
     scaler_zeros: float = 0.0
+    # activation remat for the STHCN trunk sub-layers (none|full|dots,
+    # `ops/recurrent.remat_cell`): the feedforward trunks store every
+    # HyperTem/Cap intermediate for backward — at N=16,384 that is what
+    # caps the f32 train-step batch at 2; remat trades ~1 recomputed
+    # trunk forward for those residuals. Off by default (reference
+    # parity surfaces never need it).
+    remat: str = "none"
 
     @staticmethod
     def from_framework(cfg: FrameworkConfig, scaler_zeros: float) -> "GPTSTConfig":
@@ -74,7 +81,7 @@ class GPTSTConfig:
             num_route=cfg.num_route, mask_ratio=cfg.mask_ratio,
             ada_mask_ratio=cfg.ada_mask_ratio, ada_type=cfg.ada_type,
             change_epoch=cfg.change_epoch, epochs=cfg.epochs,
-            scaler_zeros=scaler_zeros)
+            scaler_zeros=scaler_zeros, remat=cfg.pretrain_remat)
 
 
 class TimeFeature(nn.Module):
@@ -253,12 +260,16 @@ class STHCN(nn.Module):
                    embed_dim_spa=c.embed_dim_spa, hs=c.HS, ht=c.HT,
                    num_route=c.num_route)
 
-        xt1 = HyperTem(**ht)(x_in, node_emb, time_eb)
-        xg1, hs1, _ = Cap(**cap)(xt1, node_emb_spg, time_eb_spg, teb)
-        xt2 = HyperTem(**ht)(xg1, node_emb, time_eb)
-        xt3 = HyperTem(**ht)(xt2, node_emb, time_eb)
-        xg3, hs3, _ = Cap(**cap)(xt3, node_emb_spg, time_eb_spg, teb)
-        xt4 = HyperTem(**ht)(xg3, node_emb, time_eb)
+        from gptst_tpu.ops.recurrent import remat_cell
+
+        HT = remat_cell(HyperTem, c.remat)
+        CP = remat_cell(Cap, c.remat)
+        xt1 = HT(**ht)(x_in, node_emb, time_eb)
+        xg1, hs1, _ = CP(**cap)(xt1, node_emb_spg, time_eb_spg, teb)
+        xt2 = HT(**ht)(xg1, node_emb, time_eb)
+        xt3 = HT(**ht)(xt2, node_emb, time_eb)
+        xg3, hs3, _ = CP(**cap)(xt3, node_emb_spg, time_eb_spg, teb)
+        xt4 = HT(**ht)(xg3, node_emb, time_eb)
         return xt4, hs1, hs3
 
 

@@ -221,3 +221,43 @@ def test_stmgcn_remat_forward_and_tree_invariance():
                                rtol=1e-5, atol=1e-6)
     assert (jax.tree_util.tree_structure(outs["none"][1])
             == jax.tree_util.tree_structure(outs["full"][1]))
+
+
+def test_gptst_trunk_remat_equivalence():
+    """GPTSTConfig.remat wraps the STHCN HyperTem/Cap sub-layers in
+    jax.checkpoint (what lets the N=16,384 flagship f32 step hold
+    batch 8 instead of 2): identical param tree, init values, forward
+    outputs and gradients."""
+    from gptst_tpu.models.gptst import GPTST, GPTSTConfig
+
+    n = 10
+    rng = np.random.default_rng(0)
+    flow = rng.normal(size=(2, 12, n, 1)).astype(np.float32)
+    day = np.broadcast_to(rng.normal(size=(2, 12, 1, 1)), (2, 12, n, 1))
+    week = np.broadcast_to(rng.normal(size=(2, 12, 1, 1)), (2, 12, n, 1))
+    src = jnp.asarray(np.concatenate([flow, day, week], -1)
+                      .astype(np.float32))
+    key, ep = jax.random.PRNGKey(3), jnp.asarray(5, jnp.int32)
+    outs = {}
+    for rm in ("none", "full"):
+        cfg = GPTSTConfig(num_nodes=n, hidden_dim=16, embed_dim=8,
+                          embed_dim_spa=4, HS=5, HT=6, HT_Tem=4,
+                          remat=rm, epochs=100)
+        m = GPTST(cfg=cfg)
+        p = m.init(jax.random.PRNGKey(0), src, key, ep)
+        y = m.apply(p, src, key, ep)
+        g = jax.grad(lambda q: sum(jnp.abs(o).mean()
+                                   for o in m.apply(q, src, key, ep)[:2]))(p)
+        outs[rm] = (p, y, g)
+    assert (jax.tree_util.tree_structure(outs["none"][0])
+            == jax.tree_util.tree_structure(outs["full"][0]))
+    for a, b in zip(jax.tree_util.tree_leaves(outs["none"][0]),
+                    jax.tree_util.tree_leaves(outs["full"][0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(outs["none"][1], outs["full"][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(outs["none"][2]),
+                    jax.tree_util.tree_leaves(outs["full"][2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
