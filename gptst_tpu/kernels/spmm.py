@@ -591,8 +591,11 @@ def _spmm_impl(bcsr: BlockCSR, x: jnp.ndarray) -> jnp.ndarray:
     f = flat.shape[1]
     feat_tile = _choose_feat_tile(bcsr.n_pad, f)
     f_pad = _round_up(f, feat_tile)
-    x_pad = jnp.zeros((bcsr.n_pad, f_pad), x.dtype)
-    x_pad = x_pad.at[:n, :f].set(flat)
+    if n == bcsr.n_pad and f == f_pad:
+        x_pad = flat                 # aligned node-major caller: no copy
+    else:
+        x_pad = jnp.zeros((bcsr.n_pad, f_pad), x.dtype)
+        x_pad = x_pad.at[:n, :f].set(flat)
     out = _spmm_padded(bcsr, x_pad, feat_tile)[:n, :f]
     out = jnp.moveaxis(out.reshape(n, -1, c), 0, 1).reshape(*lead, n, c)
     return out
@@ -920,8 +923,16 @@ def _dia_impl(dia: DIABand, x: jnp.ndarray) -> jnp.ndarray:
     f = flat.shape[1]
     feat_tile = _dia_feat_tile(dia, f, x.dtype.itemsize)
     f_pad = _round_up(f, feat_tile)
-    x_pad = jnp.zeros((dia.n_pad, f_pad), x.dtype)
-    x_pad = x_pad.at[:n, :f].set(flat)
+    if n == dia.n_pad and f == f_pad:
+        # node-major aligned caller (e.g. the concat-free graph-GRU at
+        # B*U a multiple of 128): the pad would be an identity copy —
+        # a full read+write pass over the operand per application —
+        # so skip it. This is what makes the node-major cell layout
+        # pay off: zero glue bytes around the kernel.
+        x_pad = flat
+    else:
+        x_pad = jnp.zeros((dia.n_pad, f_pad), x.dtype)
+        x_pad = x_pad.at[:n, :f].set(flat)
 
     if _DIA_USE_RING:
         out = _dia_ring_call(dia, x_pad, feat_tile)

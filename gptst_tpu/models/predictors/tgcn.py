@@ -44,19 +44,37 @@ class TGCN(nn.Module):
     def __call__(self, x: jnp.ndarray, support: jnp.ndarray) -> jnp.ndarray:
         B, _, N, _ = x.shape
         from gptst_tpu.ops.graph_conv import ShardedSupport
-        from gptst_tpu.ops.recurrent import resolve_remat
+        from gptst_tpu.ops.recurrent import (GraphGRUCellNM, remat_cell,
+                                             resolve_remat)
 
         rm = resolve_remat(self.cfg.remat, N)
         if isinstance(support, ShardedSupport):
             # the halo/ring support carries a shard_map closure that
             # jax.checkpoint cannot abstract as a call operand; the
             # sharded path also divides the residual stack across
-            # devices, so remat is forced off there
-            rm = "none"
-        scanned = scan_over_time(
-            GraphGRUCell, num_units=self.cfg.rnn_units, remat=rm)
-        h0 = jnp.zeros((B, N, self.cfg.rnn_units), x.dtype)
-        h, _ = scanned(h0, x, support)
+            # devices, so remat is forced off there. The sharded fn is
+            # built for batch-major operands, so keep the original cell
+            # layout on this path.
+            scanned = scan_over_time(
+                GraphGRUCell, num_units=self.cfg.rnn_units, remat="none")
+            h0 = jnp.zeros((B, N, self.cfg.rnn_units), x.dtype)
+            h, _ = scanned(h0, x, support)
+        else:
+            # node-major scan: one (B,T,N,D)->(T,N,B,D) transpose for
+            # the whole sequence instead of two transposes + a pad
+            # round-trip per aggregation (see `GraphGRUCellNM`); the
+            # param tree is identical to the batch-major path.
+            scanned = nn.scan(
+                remat_cell(GraphGRUCellNM, rm),
+                variable_broadcast="params",
+                split_rngs={"params": False, "dropout": True},
+                in_axes=(0, nn.broadcast),
+                out_axes=0,
+            )(num_units=self.cfg.rnn_units)
+            xt = jnp.transpose(x, (1, 2, 0, 3))      # (T, N, B, D)
+            h0 = jnp.zeros((N, B, self.cfg.rnn_units), x.dtype)
+            h, _ = scanned(h0, xt, support)          # h: (N, B, U)
+            h = jnp.swapaxes(h, 0, 1)                # (B, N, U)
         out = nn.Dense(self.horizon * self.dim_out)(h)  # (B, N, T_out*D)
         out = out.reshape(B, N, self.horizon, self.dim_out)
         return jnp.transpose(out, (0, 2, 1, 3))

@@ -53,6 +53,66 @@ class GraphGRUCell(nn.Module):
         return h_new, h_new
 
 
+class GraphGRUCellNM(nn.Module):
+    """Node-major, concat-free graph-GRU — same math and param tree as
+    `GraphGRUCell`, laid out for the TPU sparse aggregation path.
+
+    The batch-major cell pays, per aggregation, a (B,N,C)->(N,B*C)
+    transpose plus a pad round-trip to the kernel's lane-aligned width
+    (B*C = 8*65 = 520 -> 640) — measured at ~2.7x the kernel's own
+    bytes (`scripts/tgcn_profile.py`: 0.814 ms/apply vs a ~0.25 ms
+    kernel at 16k/B=8). This cell removes all of it:
+
+    * states live node-major — h: (N, B, U), x_t: (N, B, D) — so the
+      (N, B*F) view the kernel wants is a free reshape;
+    * the reference's concat [x ‖ h] (`model/TGCN/TGCN.py:105,120`)
+      never materializes: SpMM is columnwise, so
+      A·[x ‖ h] == [A·x ‖ A·h] exactly, and the gate matmul splits as
+      az @ W == (A·x) @ W[:D] + (A·h) @ W[D:];
+    * A·x is shared by both gates (the reference computes it twice
+      inside its two graph convs), so a step does aggregations of
+      widths B*D, B*U, B*U — with B*U a lane multiple (512 at B=8,
+      U=64) every wide application hits the kernels' zero-copy path.
+
+    Values match `GraphGRUCell` to fp-association (the split matmul
+    reassociates the K=D+U contraction as K=D plus K=U).
+    """
+
+    num_units: int
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, x: jnp.ndarray,
+                 support) -> tuple:
+        # h: (N, B, U), x: (N, B, D), support acting on N
+        n, b, d = x.shape
+        u_ = self.num_units
+        w0 = self.param("weights_0", xavier_normal, (d + u_, 2 * u_))
+        b0 = self.param("bias_0", nn.initializers.zeros, (2 * u_,))
+        w1 = self.param("weights_1", xavier_normal, (d + u_, u_))
+        b1 = self.param("bias_1", nn.initializers.zeros, (u_,))
+
+        def agg(t):
+            f = t.shape[-1]
+            return graph_matmul(support, t.reshape(n, b * f)).reshape(
+                n, b, f)
+
+        ax = agg(x)
+        ah = agg(h)
+        gates = jax.nn.sigmoid(ax @ w0[:d] + ah @ w0[d:] + b0)
+        r, u = jnp.split(gates, 2, axis=-1)
+        arh = agg(r * h)
+        c = jnp.tanh(ax @ w1[:d] + arh @ w1[d:] + b1)
+        h_new = u * h + (1.0 - u) * c
+        return h_new, h_new
+
+
+# flax derives the scanned submodule's param path from the class
+# __name__ ("ScanGraphGRUCell_0"); sharing the name keeps checkpoints
+# and transplants layout-independent — the param TREE is identical,
+# only the activation layout differs.
+GraphGRUCellNM.__name__ = "GraphGRUCell"
+
+
 def resolve_remat(remat: str, num_nodes: int,
                   threshold: int = 4096) -> str:
     """Resolve the "auto" policy: at >= `threshold` nodes the T-step
