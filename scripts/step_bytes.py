@@ -62,20 +62,40 @@ def spmm_bytes_per_apply(n: int, feats: int, itemsize: int,
 
 def tgcn_step_bytes(n: int, batch: int, t: int = 12, u: int = 64,
                     d: int = 1, itemsize: int = 4,
-                    remat: str = "none") -> dict:
+                    remat: str = "none",
+                    layout: str = "node_major") -> dict:
     z = d + u
     unit = batch * n * itemsize             # one B*N float plane
-    # forward elementwise/matmul fusion groups (reads + writes, in
-    # B*N-plane units) — see module docstring table
-    fwd_planes = (
-        (z + z)              # concat z1
-        + (z + z)            # SpMM operand in/out passes
-        + (z + 2 * u)        # gate matmul + sigmoid
-        + (2 * u + d + z)    # rh + concat z2
-        + (z + z)            # SpMM 2 in/out
-        + (z + u)            # candidate matmul + tanh
-        + (3 * u + u)        # state update
-    )
+    if layout == "node_major":
+        # concat-free node-major cell (`ops/recurrent.GraphGRUCellNM`,
+        # round 5): no concat materialization, no per-apply
+        # transpose/pad glue (the kernel operand passes live entirely
+        # in `spmm_bytes_per_apply`), A·x shared across both gates.
+        # Fusion groups (reads + writes, B*N-plane units):
+        fwd_planes = (
+            2 * d                # once-per-scan (T,N,B,D) transpose,
+                                 # amortized over the T steps
+            + (d + u + 2 * u)    # gate matmuls + sigmoid -> r, u
+            + (2 * u + u)        # rh = r * h
+            + (d + 3 * u + u)    # candidate matmul + state update
+        )
+        # three aggregations per step: x at the 128-lane pad floor,
+        # h and r*h at B*U (lane-aligned at the bench shapes)
+        agg_feats = [max(batch * d, 128), batch * u, batch * u]
+    else:
+        # batch-major layout (pre-round-5 — kept for the record): the
+        # concats materialize and every application pays its own
+        # transpose + pad round-trip, counted as SpMM in/out passes
+        fwd_planes = (
+            (z + z)              # concat z1
+            + (z + z)            # SpMM operand in/out passes
+            + (z + 2 * u)        # gate matmul + sigmoid
+            + (2 * u + d + z)    # rh + concat z2
+            + (z + z)            # SpMM 2 in/out
+            + (z + u)            # candidate matmul + tanh
+            + (3 * u + u)        # state update
+        )
+        agg_feats = [batch * z, batch * z]
     # backward: each group re-reads saved inputs and writes cotangents
     # of the same shapes; transposed SpMM operand passes included below
     bwd_planes = 2 * fwd_planes
@@ -86,9 +106,12 @@ def tgcn_step_bytes(n: int, batch: int, t: int = 12, u: int = 64,
         bwd_planes = 2 * fwd_planes - fwd_planes // 2
 
     act = t * (fwd_planes + bwd_planes) * unit
-    # aggregation: 2 forward + 2 transposed applications per step, at
-    # the cell's feature width folded over batch (B*(D+U))
-    spmm = t * 4 * spmm_bytes_per_apply(n, batch * z, itemsize)
+    # aggregation: forward + transposed-backward applications per step
+    # at each aggregation's own width; remat "full" re-runs the forward
+    # applications during the recompute
+    spmm_fwd = sum(spmm_bytes_per_apply(n, fw, itemsize)
+                   for fw in agg_feats)
+    spmm = t * (3 if remat == "full" else 2) * spmm_fwd
     # readout: Dense (B,N,U)->(B,N,T*D) fwd+bwd
     readout = (batch * n * (u + t * d) * itemsize) * 3
     # params + Adam state: |theta| ~ (Z*2U + Z*U + T*U) — negligible
