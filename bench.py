@@ -422,10 +422,10 @@ def main() -> None:
     # scan-cell remat ("full", `ops/recurrent.remat_cell`) — without it
     # the T-step backward residuals (~20 GB at batch 8) forced the r4
     # ladder down to batch 4 f32-only (VERDICT r4 weak #2).
-    cases = [("16384", 16384, (8, 4, 2), "float32", "TGCN", "full"),
-             ("16384_bf16", 16384, (8, 4, 2), "bfloat16", "TGCN", "full"),
-             ("65536", 65536, (8, 4, 2), "float32", "TGCN", "full"),
-             ("65536_bf16", 65536, (8, 4, 2), "bfloat16", "TGCN", "full"),
+    cases = [("16384", 16384, (8, 4, 2), "float32", "TGCN", "auto"),
+             ("16384_bf16", 16384, (8, 4, 2), "bfloat16", "TGCN", "auto"),
+             ("65536", 65536, (8, 4, 2), "float32", "TGCN", "auto"),
+             ("65536_bf16", 65536, (8, 4, 2), "bfloat16", "TGCN", "auto"),
              ("msdr_16384", 16384, (8, 4, 2), "float32", "MSDR", "none"),
              ("msdr_65536", 65536, (4, 2, 1), "float32", "MSDR", "full")]
     for key, nn_, ladder, dt, mdl, rm in cases:

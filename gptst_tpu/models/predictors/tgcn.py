@@ -26,9 +26,10 @@ class TGCNConfig:
     lam: float = 0.0015  # L2 weight used by the reference's lreg variant
     # activation remat for the scanned GRU cell: auto|none|full|dots
     # (`ops/recurrent.remat_cell`) — trades ~1 recomputed forward for
-    # O(T) backward residual memory; required to hold batch 8 at 64k
-    # nodes and measured FASTER at >=16k (`ops/recurrent.resolve_remat`).
-    # "auto" (default) resolves by node count. CLI: `--remat full`.
+    # O(T) backward residual memory. With the node-major cell the
+    # stored path fits AND wins up to (at least) 64k/batch-8, so
+    # "auto" (default) resolves to "none" below 128k nodes
+    # (`ops/recurrent.resolve_remat`). CLI: `--remat full` to force.
     remat: str = "auto"
 
 
@@ -47,7 +48,9 @@ class TGCN(nn.Module):
         from gptst_tpu.ops.recurrent import (GraphGRUCellNM, remat_cell,
                                              resolve_remat)
 
-        rm = resolve_remat(self.cfg.remat, N)
+        # node-major cell: storing residuals beats recomputing up to
+        # (at least) 64k/batch-8 — see `resolve_remat`'s docstring
+        rm = resolve_remat(self.cfg.remat, N, threshold=131072)
         if isinstance(support, ShardedSupport):
             # the halo/ring support carries a shard_map closure that
             # jax.checkpoint cannot abstract as a call operand; the

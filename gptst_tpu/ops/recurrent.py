@@ -116,10 +116,16 @@ GraphGRUCellNM.__name__ = "GraphGRUCell"
 def resolve_remat(remat: str, num_nodes: int,
                   threshold: int = 4096) -> str:
     """Resolve the "auto" policy: at >= `threshold` nodes the T-step
-    residual stack dominates HBM (and the chip measurements show remat
-    "full" is also FASTER there — 97.9 vs 104.5 ms for the 16k TGCN f32
-    step: recomputing the cell forward costs less than round-tripping
-    its stored residuals); below it the store-everything path wins."""
+    residual stack dominates HBM and recomputing beats storing. The
+    default fits the BATCH-MAJOR cells (CCRNN/STMGCN), whose recompute
+    also skips the stored glue passes. Callers whose cells have
+    cheaper residuals or pricier recomputes pass their own threshold:
+    the node-major TGCN cell uses 131072 (with the concat and
+    per-apply glue gone, its residual stack shrank enough that
+    64k/batch-8 f32 fits stored — 296.0 ms vs 316.5 remat "full";
+    16k: 41.0 vs 48.0 — remat's recomputed SpMM applications now cost
+    more than the residual round-trips they replace); MSDR uses 32768
+    (SpMM-heavy recompute, chunked two-level scan above it)."""
     if remat != "auto":
         return remat
     return "full" if num_nodes >= threshold else "none"
