@@ -418,10 +418,10 @@ def main() -> None:
     sparse = {}
     # the tunneled compile service rejects the largest modules (batch 8
     # at 64k nodes -> tpu_compile_helper crash); per-size batch ladders
-    # fall back rather than losing the measurement. 64k rows run under
-    # scan-cell remat ("full", `ops/recurrent.remat_cell`) — without it
-    # the T-step backward residuals (~20 GB at batch 8) forced the r4
-    # ladder down to batch 4 f32-only (VERDICT r4 weak #2).
+    # fall back rather than losing the measurement. TGCN runs the
+    # product "auto" remat policy: the node-major cell stores residuals
+    # up to 128k nodes (64k/batch-8 fits and beats the recompute —
+    # `TGCN_NM_r05.json`); MSDR keeps its measured per-size modes.
     cases = [("16384", 16384, (8, 4, 2), "float32", "TGCN", "auto"),
              ("16384_bf16", 16384, (8, 4, 2), "bfloat16", "TGCN", "auto"),
              ("65536", 65536, (8, 4, 2), "float32", "TGCN", "auto"),
@@ -430,7 +430,10 @@ def main() -> None:
              ("msdr_65536", 65536, (4, 2, 1), "float32", "MSDR", "full")]
     for key, nn_, ladder, dt, mdl, rm in cases:
         last_err = None
-        iso = nn_ >= 65536 and mdl == "MSDR"   # see _subprocess_case
+        # all 64k rows isolate in a fresh subprocess: earlier cases'
+        # executables pin parent HBM, and the stored-residual TGCN
+        # rows (auto policy) need the full clean 16 GB at batch 8
+        iso = nn_ >= 65536                      # see _subprocess_case
         if iso:   # clean parent HBM before spawning (see below)
             import gc
 
